@@ -1,0 +1,93 @@
+package graft.app
+
+import graft.gen.{ChangelogGen, GenConfig}
+import graft.ingest.Ingest
+import graft.lake.LakeTable
+import graft.log.ChangeLog
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point — the engine's CLI, mirroring the reference's
+  * command surface (/root/reference/cmd/run.go:29-72,
+  * cmd/positions/report.go, cmd/positions/save.go):
+  *
+  * {{{
+  *   gen     <logDir> [nEvents] [nRepos] [pathsPerRepo] [nPartitions] [ddlEvery]
+  *   run     <logDir> <tableDir> <checkpointDir> [maxFilesPerTrigger]   # streaming tail
+  *   replay  <logDir> <tableDir>                                        # batch replay
+  *   report  <tableDir>                                                 # position + lineage report
+  * }}}
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName("graft-cdc")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try dispatch(spark, args)
+    finally spark.stop()
+  }
+
+  private def dispatch(spark: SparkSession, args: Array[String]): Unit = args(0) match {
+    case "gen" =>
+      val dir = args(1)
+      def a(i: Int, d: Long): Long = if (args.length > i) args(i).toLong else d
+      val cfg = GenConfig(
+        nEvents = a(2, 100000L),
+        nRepos = a(3, 200L).toInt,
+        pathsPerRepo = a(4, 50L).toInt,
+        nPartitions = a(5, 8L).toInt,
+        ddlEvery = a(6, 0L))
+      ChangeLog.write(ChangelogGen.events(spark, cfg), dir)
+      println(s"wrote ${cfg.nEvents} events to $dir (${cfg.nPartitions} partitions)")
+
+    case "run" =>
+      val Array(_, logDir, tableDir, ckptDir) = args.take(4)
+      val mft = if (args.length > 4) args(4).toInt else 8
+      if (!LakeTable.exists(tableDir)) LakeTable.create(spark, tableDir)
+      StreamIngest.runAvailable(spark, logDir, tableDir, ckptDir, mft)
+      report(spark, tableDir)
+
+    case "replay" =>
+      val Array(_, logDir, tableDir) = args.take(3)
+      if (!LakeTable.exists(tableDir)) LakeTable.create(spark, tableDir)
+      val table = LakeTable.load(spark, tableDir)
+      val bm = Ingest.replayLog(table, ChangeLog.readDF(spark, logDir))
+      println(s"replayed: seen=${bm.eventsSeen} applied=${bm.eventsApplied} " +
+        s"tombstones=${bm.tombstonesWritten} conflicts=${bm.conflictsLww} " +
+        s"deadLetters=${bm.deadLetters} fencedOut=${bm.skippedByFence} ddl=${bm.ddlApplied}")
+      report(spark, tableDir)
+
+    case "report" =>
+      report(spark, args(1))
+
+    case other =>
+      System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
+  }
+
+  /** Position + run report (reference: /cobra/position + /rules/report,
+    * /root/reference/cobra/cobra_http.go:50-61, handler_http.go:10-50). */
+  private def report(spark: SparkSession, tableDir: String): Unit = {
+    val table = LakeTable.load(spark, tableDir)
+    val s = table.snapshot
+    println(s"table=$tableDir version=${s.version} schemaId=${s.schemaId} " +
+      s"buckets=${s.buckets.size}/${s.numBuckets} rows~=${s.totalRows}")
+    println(s"fence=${s.fence.toSeq.sortBy(_._1).map { case (p, o) => s"$p:$o" }.mkString("{", ", ", "}")}")
+    println(s"metrics=${s.metrics.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}")}")
+    println(s"liveRows=${table.read().count()}")
+  }
+
+  private def usage(): Unit = System.err.println(
+    """usage: graft.app.Main <command> ...
+      |  gen     <logDir> [nEvents] [nRepos] [pathsPerRepo] [nPartitions] [ddlEvery]
+      |  run     <logDir> <tableDir> <checkpointDir> [maxFilesPerTrigger]
+      |  replay  <logDir> <tableDir>
+      |  report  <tableDir>""".stripMargin)
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.ingest.Ingest
+import graft.ingest.Ingest.IngestConfig
+import graft.lake.LakeTable
+import graft.log.ChangeLog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming front-end: tail the durable changelog and apply each
+  * micro-batch through the exactly-once ingest path.
+  *
+  * This is the Spark-native shape of the reference's whole runtime
+  * (SURVEY §3.1): the canal replication thread becomes the file-stream
+  * source; the 100k-event handler buffer
+  * (/root/reference/config/configure.go:13) becomes `maxFilesPerTrigger`;
+  * rule/consumer worker pools become shuffle parallelism; the best-effort
+  * `t_positions` save becomes TWO cooperating checkpoints — Spark's streaming
+  * checkpoint (source progress) and the LakeTable's offset fence (committed
+  * atomically WITH the data), so a crash between the two replays a batch that
+  * the fence then skips: exactly-once end-to-end.
+  *
+  * Resume: restart with the same checkpoint dir. Rebase (the reference's
+  * `RebaseFlag`, /root/reference/config/config.go:15): use `latestFirst` /
+  * a fresh checkpoint — the fence still dedups any overlap.
+  */
+object StreamIngest {
+
+  def start(
+      spark: SparkSession,
+      logDir: String,
+      tableDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 8,
+      availableNow: Boolean = true,
+      cfg: IngestConfig = IngestConfig()): StreamingQuery = {
+
+    val events = ChangeLog.readStream(spark, logDir, maxFilesPerTrigger)
+    val trigger =
+      if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(0L)
+
+    events.writeStream
+      .queryName(s"graft-ingest-${java.nio.file.Paths.get(tableDir).getFileName}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val table = LakeTable.load(spark, tableDir)
+        Ingest.applyBatch(table, batch, batchId, cfg)
+        ()
+      }
+      .start()
+  }
+
+  /** Run to completion over the currently-available log (AvailableNow). */
+  def runAvailable(
+      spark: SparkSession,
+      logDir: String,
+      tableDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 8,
+      cfg: IngestConfig = IngestConfig()): Unit = {
+    val q = start(spark, logDir, tableDir, checkpointDir, maxFilesPerTrigger,
+      availableNow = true, cfg)
+    q.awaitTermination()
+  }
+}
