@@ -1,13 +1,393 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one entry per operator from SURVEY §2, expressed over the
+  * driver's parquet testdata, each with a DuckDB-equivalent oracle SQL.
+  *
+  * The `events` table (event_id, ts, user_id, event_type, value, props) plays
+  * the changelog: event_id ≈ log offset/seq, user_id ≈ key, event_type ≈
+  * action. A fixed event_type→op mapping mirrors the reference's action model
+  * (/root/reference/event/event.go:18-24): signup→insert, click/purchase→
+  * update, error→delete, view→unknown (dead-letter fodder for the validation
+  * operator, /root/reference/event/event.go:171-212).
+  *
+  * The engine's REAL data path (LakeTable MERGE, offset fence, schema
+  * evolution, streaming) is exercised by the sbt test suites; these queries
+  * are the SQL-checkable projections of each operator's semantics.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** event_type → CDC op (shared with every oracle below). */
+  private val opCol: Column =
+    when(col("event_type") === "signup", "insert")
+      .when(col("event_type").isin("click", "purchase"), "update")
+      .when(col("event_type") === "error", "delete")
+      .otherwise("unknown")
+
+  private val opSql =
+    """CASE WHEN event_type = 'signup' THEN 'insert'
+      |     WHEN event_type IN ('click','purchase') THEN 'update'
+      |     WHEN event_type = 'error' THEN 'delete'
+      |     ELSE 'unknown' END""".stripMargin.replace('\n', ' ')
+
+  /** integer cents: double-safe aggregation output for hash comparison */
+  private def cents(c: Column): Column = round(sum(c) * 100).cast("long")
+
+  // ---------------------------------------------------------------- flagship
+
+  /** Flagship: last-writer-wins dedup fold on sf0.001 (driver smoke-check). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qDedupLww(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------- CDC operator set
+
+  /** F5/F6 — validate + project: unknown actions are dead-lettered, survivors
+    * are projected to the normalized event shape. */
+  private def qValidateProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("op", opCol)
+      .filter(col("op").isin("insert", "update", "delete"))
+      .select(col("event_id"), col("user_id"), col("op"))
+
+  /** F1/F3/F4 — conjunctive filter chain (op filter ∧ key exclude-list ∧ user
+    * row predicate), short-circuited by Catalyst. */
+  private def qFilterChain(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("op", opCol)
+      .filter(col("op").isin("insert", "update") &&
+        !(col("user_id") % 10).isin(3, 7) &&
+        col("value") > 5.0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** F2 — table include/exclude truth table
+    * (/root/reference/config/tablefilter.go:13-45). */
+  private def qTableFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type").isin("click", "view", "purchase") &&
+        !col("event_type").isin("view"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** A5 — dedup by (key, offset): last writer per key. */
+  private def qDedupLww(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"))
+  }
+
+  /** S5/§2.4 — merge-apply fold: the final table state after replaying the
+    * log (last writer per key, deletes drop the row). */
+  private def qMergeFold(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("op", opCol)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("op") =!= "delete")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("op"), col("value").as("last_value"))
+  }
+
+  /** A2 — session-gap aggregation (the reference's only window: a
+    * processing-time session with re-armed timer,
+    * /root/reference/config/collector.go:76-98), gap = 30 min. */
+  private def qSessionAgg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("_new",
+        when(lag(col("_us"), 1).over(w).isNull ||
+          col("_us") - lag(col("_us"), 1).over(w) > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("_us")).as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        cents(col("value")).as("value_cents"))
+  }
+
+  /** A1 — aggregation-key grammar `[aggreField ","][prefix ":"]idxField`
+    * (/root/reference/config/aggregation.go:111-143). */
+  private def qKeyBuilder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("key",
+        concat(col("event_type"), lit(","), lit("u"), lit(":"), col("user_id").cast("string")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), cents(col("value")).as("value_cents"))
+
+  /** A4 — row diff / change detection (skip no-op updates,
+    * /root/reference/config/aggregation.go:164-207). */
+  private def qDiffChanged(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    t(s, dir, "events")
+      .withColumn("_prev", lag(col("value"), 1).over(w))
+      .withColumn("_chg",
+        when(col("_prev").isNotNull && col("value") =!= col("_prev"), 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("_chg")).as("n_changed"), count(lit(1)).as("n_events"))
+  }
+
+  /** S3/E4 — per-partition offset fence / position report
+    * (/root/reference/cobra/cobra.go:144-169). */
+  private def qFenceReport(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("log_partition", col("user_id") % 8)
+      .groupBy(col("log_partition"))
+      .agg(max(col("event_id")).as("fence_offset"), count(lit(1)).as("n_events"))
+
+  /** A6/E3 — lineage metrics: events by op class. */
+  private def qOpMetrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("op", opCol)
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        cents(col("value")).as("value_cents"))
+
+  // ---------------------------------------- training-data pipeline operators
+
+  /** Exact dedup: hash-groupBy on full content. */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+
+  /** Document fingerprinting. */
+  private def qDocFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp"), col("n_chars"))
+
+  /** Quality scoring: pure length/占位 arithmetic (identical semantics in
+    * DuckDB, so hash-comparable). */
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val nChar = length(txt)
+    val nSpace = nChar - length(regexp_replace(txt, " ", ""))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      nChar.cast("long").as("n_char"),
+      (nSpace + 1).cast("long").as("ws_tokens"),
+      (nChar - length(regexp_replace(txt, "\\.", ""))).cast("long").as("n_period"),
+      (nChar - length(regexp_replace(txt, ",", ""))).cast("long").as("n_comma"))
+  }
+
+  /** Language ID via stopword-window counts (n-gram heuristic); all probe
+    * tokens are length-5 so raw counts are comparable. */
+  private def qTextLangid(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    def cnt(tok: String): Column = length(txt) - length(regexp_replace(txt, tok, ""))
+    val en = cnt(" the "); val de = cnt(" und "); val fr = cnt(" les "); val es = cnt(" los ")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      en.cast("long").as("cnt_en"), de.cast("long").as("cnt_de"),
+      fr.cast("long").as("cnt_fr"), es.cast("long").as("cnt_es"),
+      when(greatest(en, de, fr, es) === 0, "other")
+        .when(en >= greatest(de, fr, es), "en")
+        .when(de >= greatest(fr, es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es").as("predicted"))
+  }
+
+  /** Token counting: whitespace tokens + a length-based BPE-ish estimate. */
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val nChar = length(txt)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      (nChar - length(regexp_replace(txt, " ", "")) + 1).cast("long").as("ws_tokens"),
+      ceil(nChar / lit(4.0)).cast("long").as("bpe_est"))
+  }
+
+  /** Embedding L2 norms (ANN building block): in-order fold over the vector
+    * with `aggregate` (codegen'd higher-order function, no UDF). */
+  private def qEmbedNorm(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      round(sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))) * 10000)
+        .cast("long").as("norm_e4"))
+
+  /** Brute-force cosine top-k over the embedding column (ANN baseline):
+    * 8 query vectors broadcast against all, top-3 by rounded cosine. */
+  private def qAnnCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val norm = (a: Column) => sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pairs = broadcast(q).crossJoin(e)
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qe"), col("embedding")) /
+          (norm(col("qe")) * norm(col("embedding"))) * 10000).cast("long").as("cos_e4"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_e4").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id"), col("cos_e4"), col("rank"))
+  }
+
+  // --------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_validate_project" -> (qValidateProject _),
+    "cdc_filter_chain" -> (qFilterChain _),
+    "cdc_table_filter" -> (qTableFilter _),
+    "cdc_dedup_lww" -> (qDedupLww _),
+    "cdc_merge_fold" -> (qMergeFold _),
+    "cdc_session_agg" -> (qSessionAgg _),
+    "cdc_key_builder" -> (qKeyBuilder _),
+    "cdc_diff_changed" -> (qDiffChanged _),
+    "cdc_fence_report" -> (qFenceReport _),
+    "cdc_op_metrics" -> (qOpMetrics _),
+    "dedup_exact" -> (qDedupExact _),
+    "doc_fingerprint" -> (qDocFingerprint _),
+    "text_quality" -> (qTextQuality _),
+    "text_langid" -> (qTextLangid _),
+    "token_count" -> (qTokenCount _),
+    "embed_norm" -> (qEmbedNorm _),
+    "ann_cosine_topk" -> (qAnnCosineTopk _))
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_validate_project" ->
+      s"""SELECT event_id, user_id, op FROM (
+         |  SELECT event_id, user_id, $opSql AS op FROM events
+         |) WHERE op IN ('insert','update','delete')""".stripMargin,
+
+    "cdc_filter_chain" ->
+      s"""SELECT event_id, user_id, event_type, value FROM (
+         |  SELECT *, $opSql AS op FROM events
+         |) WHERE op IN ('insert','update')
+         |  AND (user_id % 10) NOT IN (3, 7) AND value > 5.0""".stripMargin,
+
+    "cdc_table_filter" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE event_type IN ('click','view','purchase')
+        |  AND event_type NOT IN ('view')
+        |GROUP BY event_type""".stripMargin,
+
+    "cdc_dedup_lww" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |       event_type AS last_event_type, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+
+    "cdc_merge_fold" ->
+      s"""SELECT user_id, event_id AS last_event_id, op, value AS last_value
+         |FROM (SELECT *, $opSql AS op,
+         |             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         |      FROM events) WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+
+    "cdc_session_agg" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS session_id FROM t
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, min(us) AS session_start_us,
+        |       count(*) AS n_events,
+        |       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "cdc_key_builder" ->
+      """SELECT event_type || ',' || 'u' || ':' || CAST(user_id AS VARCHAR) AS key,
+        |       count(*) AS n, CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "cdc_diff_changed" ->
+      """SELECT user_id,
+        |       CAST(sum(CASE WHEN prev IS NOT NULL AND value <> prev THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |       count(*) AS n_events
+        |FROM (SELECT user_id, value,
+        |             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |      FROM events) GROUP BY user_id""".stripMargin,
+
+    "cdc_fence_report" ->
+      """SELECT user_id % 8 AS log_partition, max(event_id) AS fence_offset,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "cdc_op_metrics" ->
+      s"""SELECT op, count(*) AS n, count(DISTINCT user_id) AS n_users,
+         |       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+         |FROM (SELECT *, $opSql AS op FROM events) GROUP BY op""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keeper
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "doc_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp, n_chars FROM documents",
+
+    "text_quality" ->
+      """SELECT doc_id, length(text) AS n_char,
+        |       length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,
+        |       length(text) - length(replace(text, '.', '')) AS n_period,
+        |       length(text) - length(replace(text, ',', '')) AS n_comma
+        |FROM documents""".stripMargin,
+
+    "text_langid" ->
+      """SELECT doc_id,
+        |  length(text) - length(replace(text, ' the ', '')) AS cnt_en,
+        |  length(text) - length(replace(text, ' und ', '')) AS cnt_de,
+        |  length(text) - length(replace(text, ' les ', '')) AS cnt_fr,
+        |  length(text) - length(replace(text, ' los ', '')) AS cnt_es,
+        |  CASE WHEN greatest(
+        |         length(text) - length(replace(text, ' the ', '')),
+        |         length(text) - length(replace(text, ' und ', '')),
+        |         length(text) - length(replace(text, ' les ', '')),
+        |         length(text) - length(replace(text, ' los ', ''))) = 0 THEN 'other'
+        |       WHEN length(text) - length(replace(text, ' the ', '')) >= greatest(
+        |         length(text) - length(replace(text, ' und ', '')),
+        |         length(text) - length(replace(text, ' les ', '')),
+        |         length(text) - length(replace(text, ' los ', ''))) THEN 'en'
+        |       WHEN length(text) - length(replace(text, ' und ', '')) >= greatest(
+        |         length(text) - length(replace(text, ' les ', '')),
+        |         length(text) - length(replace(text, ' los ', ''))) THEN 'de'
+        |       WHEN length(text) - length(replace(text, ' les ', '')) >=
+        |            length(text) - length(replace(text, ' los ', '')) THEN 'fr'
+        |       ELSE 'es' END AS predicted
+        |FROM documents""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |       length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,
+        |       CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+        |FROM documents""".stripMargin,
+
+    "embed_norm" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |       CAST(round(sqrt(sum(x * x)) * 10000) AS BIGINT) AS norm_e4
+        |FROM (SELECT vec_id, embedding, unnest(embedding) AS x FROM embeddings)
+        |GROUP BY vec_id, len(embedding)""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id,
+        |         CAST(round(
+        |           list_dot_product(q.qe, e.embedding) /
+        |           (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.embedding, e.embedding)))
+        |           * 10000) AS BIGINT) AS cos_e4
+        |  FROM q, embeddings e WHERE e.vec_id <> q.qid
+        |)
+        |SELECT qid, vec_id, cos_e4, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_e4 DESC, vec_id) AS BIGINT) AS rank
+        |  FROM pairs
+        |) WHERE rank <= 3""".stripMargin)
 }

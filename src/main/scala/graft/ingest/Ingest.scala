@@ -118,7 +118,9 @@ object Ingest {
           else Dedup.lastWriterPerKey(seg)
         val r = MergeApply.merge(table, deduped, fence,
           batchId = if (isLast) batchId else -1L, salt = cfg.salt,
-          extraMetrics = if (isLast) Map("deadLetters" -> dlCount) else Map.empty)
+          extraMetrics =
+            if (isLast) Map("deadLetters" -> dlCount, "eventsSeen" -> total)
+            else Map.empty)
         applied += r.eventsApplied; tombstones += r.tombstonesWritten
         conflicts += r.conflictsLww
       }
