@@ -59,7 +59,10 @@ object Main {
       val Array(_, logDir, tableDir) = args.take(3)
       if (!LakeTable.exists(tableDir)) LakeTable.create(spark, tableDir)
       val table = LakeTable.load(spark, tableDir)
-      val bm = Ingest.replayLog(table, ChangeLog.readDF(spark, logDir))
+      // a whole-log batch replay is trivially "ordered" delivery: the fence
+      // may filter (everything at-or-below it was fully applied before)
+      val bm = Ingest.replayLog(table, ChangeLog.readDF(spark, logDir),
+        Ingest.IngestConfig(orderedDelivery = true))
       println(s"replayed: seen=${bm.eventsSeen} applied=${bm.eventsApplied} " +
         s"tombstones=${bm.tombstonesWritten} conflicts=${bm.conflictsLww} " +
         s"deadLetters=${bm.deadLetters} fencedOut=${bm.skippedByFence} ddl=${bm.ddlApplied}")

@@ -28,11 +28,19 @@ import org.apache.spark.sql.functions._
   */
 object MergeApply {
 
+  private val prof = sys.env.contains("GRAFT_PROF")
+  private def timed[T](name: String)(f: => T): T =
+    if (!prof) f else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof-merge] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+
   final case class MergeResult(
       eventsApplied: Long,
       upserts: Long,
       tombstonesWritten: Long,
       conflictsLww: Long,
+      duplicatesIgnored: Long,
       affectedBuckets: Int)
 
   /** @param delta  one row per key: (repo, path, op, seq, after:struct)
@@ -52,15 +60,33 @@ object MergeApply {
     val snap = table.snapshot
     val sch = snap.schema
 
+    // the deduped delta feeds three actions (bucket discovery, metrics join,
+    // merge join) — persist it so the dedup shuffle runs once
+    val deltaP = delta.persist()
+    try mergeImpl(table, deltaP, fenceDelta, batchId, salt, extraMetrics)
+    finally deltaP.unpersist()
+  }
+
+  private def mergeImpl(
+      table: LakeTable,
+      delta: DataFrame,
+      fenceDelta: Map[Int, Long],
+      batchId: Long,
+      salt: Int,
+      extraMetrics: Map[String, Long]): MergeResult = {
+    val spark = table.spark
+    val snap = table.snapshot
+    val sch = snap.schema
+
     val dB = delta.withColumn("_bucket", table.bucketExpr(col("repo"), col("path")))
-    val affected: Set[Int] =
-      dB.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
+    val affected: Set[Int] = timed("affected-buckets")(
+      dB.select("_bucket").distinct().collect().map(_.getInt(0)).toSet)
 
     if (affected.isEmpty) {
       // Nothing to apply — still advance the fence/lineage atomically.
       table.commit(Set.empty, Seq.empty, fenceDelta,
         extraMetrics + ("batches" -> 1L), batchId)
-      return MergeResult(0, 0, 0, 0, 0)
+      return MergeResult(0, 0, 0, 0, 0, 0)
     }
 
     val base = table.readInternal(snap, affected)
@@ -68,16 +94,18 @@ object MergeApply {
     // ---- lineage metrics (narrow columns only: parquet-pruned read) ----
     val baseKeys = base.select(col("repo"), col("path"), col(LakeTable.SeqCol))
     val win = col(LakeTable.SeqCol).isNull || (col("seq") > col(LakeTable.SeqCol))
-    val mrow = delta.select(col("repo"), col("path"), col("op"), col("seq"))
+    val dup = col("seq") === col(LakeTable.SeqCol) // exact re-delivery (LWW tie)
+    val mrow = timed("metrics-join")(delta.select(col("repo"), col("path"), col("op"), col("seq"))
       .join(baseKeys, Seq("repo", "path"), "left")
       .agg(
         sum(when(win, 1L).otherwise(0L)).as("applied"),
         sum(when(win && col("op") === Ops.Delete, 1L).otherwise(0L)).as("tombstones"),
         sum(when(win && col("op") =!= Ops.Delete, 1L).otherwise(0L)).as("upserts"),
-        sum(when(!win, 1L).otherwise(0L)).as("conflicts"))
-      .collect()(0)
+        sum(when(!win && !dup, 1L).otherwise(0L)).as("conflicts"),
+        sum(when(dup, 1L).otherwise(0L)).as("duplicates"))
+      .collect()(0))
     def m(i: Int): Long = if (mrow.isNullAt(i)) 0L else mrow.getLong(i)
-    val (applied, tombstones, upserts, conflicts) = (m(0), m(1), m(2), m(3))
+    val (applied, tombstones, upserts, conflicts, duplicates) = (m(0), m(1), m(2), m(3), m(4))
 
     // ---- the merge itself ----
     val afterFields: Set[String] = delta.schema("after").dataType match {
@@ -123,16 +151,19 @@ object MergeApply {
         merged.repartition(writeParts, col("_bucket"))
 
     val commitDir = table.newCommitDataDir()
-    routed.write.mode("overwrite").partitionBy("_bucket").parquet(commitDir)
+    timed("join+write")(
+      routed.write.mode("overwrite").partitionBy("_bucket").parquet(commitDir))
 
-    val newBuckets: Seq[BucketFile] = table.listWrittenBuckets(commitDir, sch.schemaId)
+    val newBuckets: Seq[BucketFile] =
+      timed("footer-list")(table.listWrittenBuckets(commitDir, sch.schemaId))
     val metricsDelta = Map(
       "eventsApplied" -> applied,
       "upserts" -> upserts,
       "tombstonesWritten" -> tombstones,
       "conflictsLww" -> conflicts,
+      "duplicatesIgnored" -> duplicates,
       "batches" -> 1L) ++ extraMetrics
     table.commit(affected, newBuckets, fenceDelta, metricsDelta, batchId)
-    MergeResult(applied, upserts, tombstones, conflicts, affected.size)
+    MergeResult(applied, upserts, tombstones, conflicts, duplicates, affected.size)
   }
 }

@@ -14,15 +14,25 @@ import org.apache.spark.sql.functions._
   */
 object Validate {
 
-  /** Null ⇔ valid; otherwise a reason code. */
+  /** Null ⇔ valid; otherwise a reason code.
+    *
+    * Image presence is tested via the image's key leaf (`after.repo` /
+    * `before.repo`) rather than the struct itself: an image without its key
+    * is unusable and classifies identically, and the leaf test lets nested
+    * schema pruning keep `content` out of the validation scan's ReadSchema
+    * (full-struct isNull forces reading every leaf — measured as the
+    * difference between a narrow and a full-width stats pass).
+    */
   val errorExpr: Column = {
     val op = col("op")
+    val hasAfter = col("after.repo").isNotNull
+    val hasBefore = col("before.repo").isNotNull
     when(!op.isin(Ops.all.toSeq: _*), lit("unknown_op"))
-      .when(op === Ops.Ddl && col("ddl").isNull, lit("ddl_missing_payload"))
+      .when(op === Ops.Ddl && col("ddl.kind").isNull, lit("ddl_missing_payload"))
       .when(op.isin(Ops.rowOps.toSeq: _*) && (col("repo").isNull || col("path").isNull), lit("null_key"))
-      .when(op === Ops.Insert && col("after").isNull, lit("insert_missing_after"))
-      .when(op === Ops.Update && (col("before").isNull || col("after").isNull), lit("update_arity"))
-      .when(op === Ops.Delete && col("before").isNull, lit("delete_missing_before"))
+      .when(op === Ops.Insert && !hasAfter, lit("insert_missing_after"))
+      .when(op === Ops.Update && !(hasBefore && hasAfter), lit("update_arity"))
+      .when(op === Ops.Delete && !hasBefore, lit("delete_missing_before"))
       .otherwise(lit(null).cast("string"))
   }
 

@@ -148,27 +148,47 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
   }
 
   /** List the `_bucket=N` dirs written under a commit data dir and build
-    * BucketFile entries (row counts from a metadata-cheap count). */
+    * BucketFile entries. Row counts come from parquet footers (driver-side
+    * metadata reads — no Spark job; at real cluster scale this would be a
+    * small parallel metadata task, as in Iceberg manifests). */
   def listWrittenBuckets(commitDir: String, schemaId: Int): Seq[BucketFile] = {
     val dirs = Files.list(Paths.get(commitDir)).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("_bucket="))
       .toSeq
-    if (dirs.isEmpty) return Seq.empty
-    val counts = spark.read.parquet(commitDir)
-      .groupBy(col("_bucket")).count()
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .toMap
-    dirs.map { p =>
-      val b = p.getFileName.toString.stripPrefix("_bucket=").toInt
-      BucketFile(b, p.toString, schemaId, counts.getOrElse(b, 0L))
+    // footer reads are independent metadata fetches — do them concurrently
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = LakeTable.metaPool
+    val futures = dirs.map { p =>
+      Future {
+        val b = p.getFileName.toString.stripPrefix("_bucket=").toInt
+        val rows = Files.list(p).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(f => parquetRowCount(f))
+          .sum
+        BucketFile(b, p.toString, schemaId, rows)
+      }
     }
+    Await.result(Future.sequence(futures), Duration.Inf)
+  }
+
+  private def parquetRowCount(file: Path): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getRecordCount finally reader.close()
   }
 }
 
 class CommitConflictException(msg: String) extends RuntimeException(msg)
 
 object LakeTable {
+  private[lake] lazy val metaPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(16,
+        (r: Runnable) => { val t = new Thread(r, "lake-meta"); t.setDaemon(true); t }))
+
   val SeqCol = "_seq"
   val DeletedCol = "_deleted"
   val internalFields: Array[StructField] = Array(
@@ -184,8 +204,14 @@ object LakeTable {
     Files.createDirectories(snapDir)
     val tmp = snapDir.resolve(s"_tmp-${java.util.UUID.randomUUID()}.json")
     Files.writeString(tmp, s.toJson)
-    try Files.move(tmp, snapshotPath(dir, s.version), StandardCopyOption.ATOMIC_MOVE)
-    catch {
+    // Atomic compare-and-set publish: a POSIX rename silently REPLACES an
+    // existing target, so ATOMIC_MOVE cannot detect a version race. Hard-link
+    // creation is atomic and fails with FileAlreadyExistsException if the
+    // version was committed concurrently — the loser must refresh and retry.
+    try {
+      Files.createLink(snapshotPath(dir, s.version), tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
         throw new CommitConflictException(s"version ${s.version} already committed by a concurrent writer")

@@ -23,12 +23,47 @@ object ChangeLog {
   def write(ds: Dataset[ChangeEvent], dir: String, segmentsPerPartition: Int = 4): Unit = {
     import org.apache.spark.sql.functions._
     val nPart = ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // contiguous offset-range segments (NOT modulo striping): each segment
+    // file covers a disjoint offset range, so mtime-ordered file delivery is
+    // offset-ordered within a partition — a live tail's natural property
+    val maxOffset = ds.toDF().agg(max(col("offset"))).collect()(0).getLong(0)
+    val segWidth = math.max(1L, maxOffset / segmentsPerPartition + 1L)
     ds.toDF()
-      .withColumn("_seg", (col("offset") % lit(segmentsPerPartition.toLong)).cast("int"))
+      .withColumn("_seg", (col("offset") / lit(segWidth)).cast("int"))
       .repartition(nPart, col("partition"), col("_seg"))
       .sortWithinPartitions(col("partition"), col("offset"))
       .drop("_seg")
       .write.mode("overwrite").partitionBy("partition").parquet(dir)
+    stampMtimesByOffset(dir)
+  }
+
+  /** Encode each segment file's min offset into its mtime. Spark's file
+    * stream source orders files by modification time, so this gives a
+    * bulk-written log the same per-partition offset-ordered delivery that a
+    * LIVE tail has naturally (the producer appends segments over real time).
+    * Only with that contract may the ingest enable `orderedDelivery` fence
+    * filtering; without it, LWW still converges (see IngestConfig).
+    */
+  def stampMtimesByOffset(dir: String): Unit = {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    val base = 1704067200000L // fixed epoch base, deterministic
+    Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .foreach { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), new org.apache.hadoop.conf.Configuration())
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val minOffset =
+          try {
+            reader.getFooter.getBlocks.asScala.flatMap { b =>
+              b.getColumns.asScala
+                .filter(_.getPath.toDotString == "offset")
+                .map(_.getStatistics.genericGetMin.asInstanceOf[java.lang.Long].longValue())
+            }.minOption.getOrElse(0L)
+          } finally reader.close()
+        Files.setLastModifiedTime(p, attribute.FileTime.fromMillis(base + minOffset))
+      }
   }
 
   /** Batch read of the full log (replay). */

@@ -1,0 +1,80 @@
+package graft
+
+import graft.gen.{ChangelogGen, GenConfig, Oracle}
+import graft.ingest.{Dedup, Ingest, MergeApply}
+import graft.lake.LakeTable
+import graft.model.ChangeEvent
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Convergence properties, layered by delivery contract:
+  *
+  *  1. Ingest level (fence engaged): ANY in-order batching of the log, plus
+  *     re-delivery of any suffix, converges — the fence requires per-partition
+  *     ordered delivery, which is what Structured Streaming / binlog / Kafka
+  *     give (the reference's contract too: single canal thread,
+  *     /root/reference/cobra/handler.go:77-101).
+  *
+  *  2. Merge level (no fence): batches applied in ARBITRARY order, with
+  *     duplication, still converge — tombstoned LWW on `seq` is commutative
+  *     and idempotent. This is the engine-level fix for the reference's
+  *     worker-pool reordering hazard (SURVEY §4.3.2).
+  */
+class ConvergencePropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val cfg = GenConfig(seed = 23L, nEvents = 1200L, nRepos = 8,
+    pathsPerRepo = 6, nPartitions = 2, contentLen = 40,
+    pInsert = 0.45, pUpdate = 0.25) // 30% deletes: stress tombstones
+  private lazy val events: Vector[ChangeEvent] = ChangelogGen.eventsLocal(cfg).toVector
+  private lazy val oracle = Oracle.contentSha(Oracle.replay(events))
+    .map { case ((r, p), (sha, seq)) => (r, p, sha, seq) }.toSet
+
+  private def tableState(table: LakeTable): Set[(String, String, String, Long)] =
+    table.readInternal(table.snapshot, table.snapshot.buckets.keySet)
+      .filter(!col("_deleted"))
+      .select(col("repo"), col("path"), sha2(col("content"), 256), col("_seq"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+
+  test("ingest level: any in-order batching + suffix re-delivery converges") {
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val rnd = new Random(1000L + trial)
+      val cuts = List.fill(1 + rnd.nextInt(6))(1 + rnd.nextInt(events.length - 1))
+      val suffixStart = rnd.nextInt(events.length)
+      val bounds = (0 +: cuts.distinct.sorted :+ events.length).distinct
+      val batches = bounds.sliding(2).map { case Seq(a, b) => events.slice(a, b) }.toVector
+      val table = LakeTable.create(spark, TestSpark.tmpDir("graft-prop1"), numBuckets = 4)
+      batches.foreach(b => Ingest.applyBatch(table, b.toDS().toDF()))
+      // at-least-once: some suffix of the log arrives again
+      Ingest.applyBatch(table, events.drop(suffixStart).toDS().toDF())
+      assert(tableState(table) === oracle, s"trial $trial (cuts=$cuts suffix=$suffixStart)")
+    }
+  }
+
+  test("merge level: arbitrary batch ORDER + duplication converges (LWW + tombstones)") {
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val rnd = new Random(2000L + trial)
+      val cuts = List.fill(2 + rnd.nextInt(4))(1 + rnd.nextInt(events.length - 1))
+      val bounds = (0 +: cuts.distinct.sorted :+ events.length).distinct
+      val batches = bounds.sliding(2).map { case Seq(a, b) => events.slice(a, b) }.toVector
+      val withDup = batches :+ batches(rnd.nextInt(batches.length))
+      val shuffled = rnd.shuffle(withDup)
+      val table = LakeTable.create(spark, TestSpark.tmpDir("graft-prop2"), numBuckets = 4)
+      shuffled.foreach { b =>
+        MergeApply.merge(table, Dedup.lastWriterPerKey(
+          b.toDS().toDF().filter(col("op") =!= "ddl")), Map.empty)
+      }
+      assert(tableState(table) === oracle, s"trial $trial (cuts=$cuts)")
+    }
+  }
+
+  test("sequential batching baseline") {
+    import spark.implicits._
+    val table = LakeTable.create(spark, TestSpark.tmpDir("graft-prop0"), numBuckets = 4)
+    events.grouped(300).foreach(b => Ingest.applyBatch(table, b.toDS().toDF()))
+    assert(tableState(table) === oracle)
+  }
+}

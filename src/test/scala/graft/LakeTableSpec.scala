@@ -1,0 +1,63 @@
+package graft
+
+import graft.lake._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LakeTable metadata unit tests: schema evolution rules, JSON round-trips,
+  * atomic-commit conflict detection, fence merging, time travel.
+  */
+class LakeTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("schema evolution: add / rename / widen rules + illegal transitions") {
+    val s0 = TableSchema.base
+    assert(s0.columns.map(_.name) === Seq("repo", "path", "commit", "lang", "content"))
+    val s1 = s0.addColumn("stars", "int")
+    assert(s1.schemaId === 1 && s1.find("stars").get.id === 6)
+    val s2 = s1.widenType("stars", "long")
+    assert(s2.find("stars").get.dataType === "long")
+    assert(s2.find("stars").get.id === 6, "widen keeps the column id")
+    val s3 = s2.renameColumn("stars", "stargazers")
+    assert(s3.find("stargazers").get.id === 6 && s3.find("stars").isEmpty)
+    intercept[IllegalArgumentException](s3.widenType("stargazers", "int")) // long->int illegal
+    intercept[IllegalArgumentException](s3.addColumn("repo", "string")) // duplicate
+    intercept[IllegalArgumentException](s3.renameColumn("nope", "x")) // missing
+    intercept[IllegalArgumentException](s3.renameColumn("stargazers", "repo")) // collision
+  }
+
+  test("snapshot JSON round-trip") {
+    val sch = TableSchema.base.addColumn("stars", "int")
+    val s = Snapshot(3L, 2L, sch.schemaId, 16,
+      Map(1 -> BucketFile(1, "/x/_bucket=1", 0, 10L), 5 -> BucketFile(5, "/y/_bucket=5", 1, 2L)),
+      Map(0 -> 99L, 3 -> 42L), Map("eventsApplied" -> 7L), 4L,
+      Seq(TableSchema.base, sch), 123456789L)
+    val rt = Snapshot.fromJson(s.toJson)
+    assert(rt === s)
+  }
+
+  test("atomic commit: version race loses with CommitConflictException") {
+    val dir = TestSpark.tmpDir("graft-lake-cas")
+    val t1 = LakeTable.create(spark, dir, numBuckets = 4)
+    val t2 = LakeTable.load(spark, dir) // second writer, same version view
+    t1.commit(Set.empty, Seq.empty, Map(0 -> 5L), Map("a" -> 1L))
+    intercept[CommitConflictException] {
+      t2.commit(Set.empty, Seq.empty, Map(0 -> 9L), Map("a" -> 1L))
+    }
+    // loser refreshes and retries — fence merges monotonically
+    t2.refresh()
+    t2.commit(Set.empty, Seq.empty, Map(0 -> 3L, 1 -> 7L), Map("a" -> 1L))
+    val s = t2.snapshot
+    assert(s.fence === Map(0 -> 5L, 1 -> 7L), "fence merge keeps per-partition max")
+    assert(s.metrics("a") === 2L)
+  }
+
+  test("time travel: snapshotAt reads any committed version") {
+    val dir = TestSpark.tmpDir("graft-lake-tt")
+    val t = LakeTable.create(spark, dir, numBuckets = 4)
+    t.commit(Set.empty, Seq.empty, Map(0 -> 1L), Map.empty)
+    t.commit(Set.empty, Seq.empty, Map(0 -> 2L), Map.empty)
+    assert(t.snapshotAt(0).fence === Map.empty)
+    assert(t.snapshotAt(1).fence === Map(0 -> 1L))
+    assert(t.snapshot.version === 2 && t.snapshot.fence === Map(0 -> 2L))
+  }
+}
