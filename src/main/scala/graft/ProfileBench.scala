@@ -15,6 +15,8 @@ object ProfileBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "33554432")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -27,7 +29,11 @@ object ProfileBench {
     }
 
     val work = java.nio.file.Files.createTempDirectory("graft-prof").toString
-    val cfg = Bench.cdcGenConfig(args.headOption.getOrElse("/root/testdata/sf0.01"), nPartitions = 16)
+    val cfg0 = Bench.cdcGenConfig(args.headOption.getOrElse("/root/testdata/sf0.01"), nPartitions = 16)
+    val cfg = sys.env.get("GRAFT_EVENTS") match {
+      case Some(n) => cfg0.copy(nEvents = n.toLong, nRepos = math.max(64, (n.toLong / 2000L).toInt))
+      case None => cfg0
+    }
     val logDir = s"$work/log"
     timed("gen+write")(ChangeLog.write(ChangelogGen.events(spark, cfg), logDir))
 

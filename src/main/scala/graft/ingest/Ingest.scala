@@ -27,6 +27,13 @@ import org.apache.spark.sql.types._
   */
 object Ingest {
 
+  private val prof = sys.env.contains("GRAFT_PROF")
+  private def timed[T](name: String)(f: => T): T =
+    if (!prof) f else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof-ingest] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+
   final case class IngestConfig(
       filter: FilterChain = FilterChain.passAll,
       salt: Int = 1,
@@ -104,14 +111,17 @@ object Ingest {
     val cached = batch
     locally {
       // ---- single per-partition stats job (counts + high-water marks) ----
-      val stats = cached.groupBy(col("partition")).agg(
+      val isLiveRow = unfenced && err.isNull && isRowOp && passes
+      val bucketOf = pmod(hash(col("repo"), col("path")), lit(table.numBuckets))
+      val stats = timed("stats-job")(cached.groupBy(col("partition")).agg(
         count(lit(1)).as("total"),
         max(col("offset")).as("maxOff"),
         sum(when(pastFence, 1L).otherwise(0L)).as("unfenced"),
         sum(when(unfenced && err.isNotNull, 1L).otherwise(0L)).as("dl"),
         sum(when(unfenced && err.isNull && col("op") === Ops.Ddl, 1L).otherwise(0L)).as("nddl"),
-        sum(when(unfenced && err.isNull && isRowOp && passes, 1L).otherwise(0L)).as("nrows"))
-        .collect()
+        sum(when(isLiveRow, 1L).otherwise(0L)).as("nrows"),
+        collect_set(when(isLiveRow, bucketOf)).as("buckets"))
+        .collect())
       def sumL(i: Int): Long = stats.map(r => if (r.isNullAt(i)) 0L else r.getLong(i)).sum
       val total = sumL(1); val pastFenceN = sumL(3)
       val unfencedN = if (cfg.orderedDelivery) pastFenceN else total
@@ -120,6 +130,8 @@ object Ingest {
         stats.map(r => r.getInt(0) -> r.getLong(2)).toMap
       val perPartRows: Map[Int, Long] =
         stats.map(r => r.getInt(0) -> (if (r.isNullAt(6)) 0L else r.getLong(6))).toMap
+      val affectedBuckets: Set[Int] =
+        stats.flatMap(r => r.getSeq[Int](7)).toSet
 
       if (dlCount > 0) appendDeadLetters(table, cached.filter(unfenced && err.isNotNull), batchId)
 
@@ -135,7 +147,8 @@ object Ingest {
           batchId = if (isLast) batchId else -1L, salt = cfg.salt,
           extraMetrics =
             if (isLast) Map("deadLetters" -> dlCount, "eventsSeen" -> total)
-            else Map.empty)
+            else Map.empty,
+          affectedHint = if (rowCount > 0) Some(affectedBuckets) else Some(Set.empty))
         applied += r.eventsApplied; tombstones += r.tombstonesWritten
         conflicts += r.conflictsLww
       }
@@ -166,7 +179,7 @@ object Ingest {
       val bm = BatchMetrics(batchId, total, dlCount,
         math.max(unfencedN - dlCount - ddlCount - rowCount, 0),
         total - unfencedN, applied, tombstones, conflicts, ddls.length, snap1.version)
-      appendLineage(table, bm, fenceDelta, perPartRows)
+      timed("lineage-append")(appendLineage(table, bm, fenceDelta, perPartRows))
       bm
     }
   }
@@ -197,25 +210,38 @@ object Ingest {
       .write.mode(SaveMode.Append).parquet(s"${table.dir}/_errors")
 
   private def appendDeadLetterNote(table: LakeTable, msg: String): Unit = {
-    val spark = table.spark
-    import spark.implicits._
-    Seq(msg).toDF("_error").withColumn("_batchId", lit(-1L))
-      .write.mode(SaveMode.Append).parquet(s"${table.dir}/_errors_notes")
+    val dir = java.nio.file.Paths.get(s"${table.dir}/_errors_notes")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("notes.jsonl"),
+      graft.lake.Json.obj("_error" -> graft.lake.Json.quote(msg)) + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
 
+  /** Lineage is tiny per-batch metadata (one summary line + one line per log
+    * partition) — appended driver-side as JSONL, not via a Spark job: a
+    * 1-row parquet write costs a full job (~0.5s of the per-batch serial
+    * budget), a file append costs microseconds. Read back with spark.read.json.
+    */
   private def appendLineage(
       table: LakeTable, bm: BatchMetrics, fenceDelta: Map[Int, Long],
       perPartRows: Map[Int, Long]): Unit = {
-    val spark = table.spark
-    val data: Seq[Row] =
-      Row(bm.batchId, bm.snapshotVersion, -1, -1L, bm.eventsSeen, bm.eventsApplied,
-        bm.tombstonesWritten, bm.conflictsLww, bm.deadLetters) +:
+    def line(partition: Int, maxOffset: Long, seen: Long, applied: Long,
+        tomb: Long, confl: Long, dl: Long): String =
+      s"""{"batchId":${bm.batchId},"snapshotVersion":${bm.snapshotVersion},""" +
+      s""""partition":$partition,"maxOffset":$maxOffset,"eventsSeen":$seen,""" +
+      s""""eventsApplied":$applied,"tombstones":$tomb,"conflictsLww":$confl,""" +
+      s""""deadLetters":$dl}"""
+    val lines =
+      line(-1, -1L, bm.eventsSeen, bm.eventsApplied, bm.tombstonesWritten,
+        bm.conflictsLww, bm.deadLetters) +:
       fenceDelta.toSeq.sortBy(_._1).map { case (p, mo) =>
-        Row(bm.batchId, bm.snapshotVersion, p, mo, perPartRows.getOrElse(p, 0L),
-          -1L, -1L, -1L, -1L)
+        line(p, mo, perPartRows.getOrElse(p, 0L), -1L, -1L, -1L, -1L)
       }
-    spark.createDataFrame(spark.sparkContext.parallelize(data, 1), lineageSchema)
-      .write.mode(SaveMode.Append).parquet(s"${table.dir}/_lineage")
+    val dir = java.nio.file.Paths.get(s"${table.dir}/_lineage")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("lineage.jsonl"),
+      lines.mkString("", "\n", "\n"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
 
   /** Read the lineage/metrics table (run-report analog,
@@ -223,7 +249,7 @@ object Ingest {
   def lineage(table: LakeTable): DataFrame = {
     val p = java.nio.file.Paths.get(s"${table.dir}/_lineage")
     if (java.nio.file.Files.isDirectory(p))
-      table.spark.read.schema(lineageSchema).parquet(p.toString)
+      table.spark.read.schema(lineageSchema).json(p.toString)
     else
       table.spark.createDataFrame(
         java.util.Collections.emptyList[Row](), lineageSchema)

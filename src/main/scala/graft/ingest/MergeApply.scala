@@ -2,7 +2,7 @@ package graft.ingest
 
 import graft.lake.{BucketFile, LakeTable, TableSchema}
 import graft.model.Ops
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Set-oriented MERGE INTO over the LakeTable — the engine's replacement for
@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   *
   * Copy-on-write at bucket granularity: only buckets containing delta keys
   * are read and rewritten; the snapshot commit swaps them atomically.
+  *
+  * Job economy: exactly TWO jobs per merge —
+  *   1. affected-bucket discovery (Catalyst prunes the dedup's max_by away,
+  *      leaving distinct-over-scan on the key columns only), and
+  *   2. the merge join + bucket write, with lineage metrics collected
+  *      IN-FLIGHT via `Dataset.observe` (no separate metrics pass).
+  * The delta is deliberately NOT cached: rebuilding it once costs far less
+  * than an in-memory columnar cache build (which also anti-scales with cores
+  * — measured 27s@8c vs 70s@32c for a 512k-row delta vs ~4s to recompute).
   */
 object MergeApply {
 
@@ -55,32 +64,20 @@ object MergeApply {
       fenceDelta: Map[Int, Long],
       batchId: Long = -1L,
       salt: Int = 1,
-      extraMetrics: Map[String, Long] = Map.empty): MergeResult = {
+      extraMetrics: Map[String, Long] = Map.empty,
+      affectedHint: Option[Set[Int]] = None): MergeResult = {
     val spark = table.spark
     val snap = table.snapshot
     val sch = snap.schema
 
-    // the deduped delta feeds three actions (bucket discovery, metrics join,
-    // merge join) — persist it so the dedup shuffle runs once
-    val deltaP = delta.persist()
-    try mergeImpl(table, deltaP, fenceDelta, batchId, salt, extraMetrics)
-    finally deltaP.unpersist()
-  }
-
-  private def mergeImpl(
-      table: LakeTable,
-      delta: DataFrame,
-      fenceDelta: Map[Int, Long],
-      batchId: Long,
-      salt: Int,
-      extraMetrics: Map[String, Long]): MergeResult = {
-    val spark = table.spark
-    val snap = table.snapshot
-    val sch = snap.schema
-
-    val dB = delta.withColumn("_bucket", table.bucketExpr(col("repo"), col("path")))
-    val affected: Set[Int] = timed("affected-buckets")(
-      dB.select("_bucket").distinct().collect().map(_.getInt(0)).toSet)
+    // Which buckets does this delta touch? Usually pre-computed by the
+    // caller's stats pass (collect_set piggybacked on the same scan); the
+    // fallback is a distinct over the delta keys (column pruning strips the
+    // dedup's max_by, leaving distinct-over-scan). An over-inclusive set is
+    // sound: an untouched bucket is rewritten to identical contents.
+    val affected: Set[Int] = affectedHint.getOrElse(timed("affected-buckets")(
+      delta.select(table.bucketExpr(col("repo"), col("path")).as("_bucket"))
+        .distinct().collect().map(_.getInt(0)).toSet))
 
     if (affected.isEmpty) {
       // Nothing to apply — still advance the fence/lineage atomically.
@@ -91,23 +88,6 @@ object MergeApply {
 
     val base = table.readInternal(snap, affected)
 
-    // ---- lineage metrics (narrow columns only: parquet-pruned read) ----
-    val baseKeys = base.select(col("repo"), col("path"), col(LakeTable.SeqCol))
-    val win = col(LakeTable.SeqCol).isNull || (col("seq") > col(LakeTable.SeqCol))
-    val dup = col("seq") === col(LakeTable.SeqCol) // exact re-delivery (LWW tie)
-    val mrow = timed("metrics-join")(delta.select(col("repo"), col("path"), col("op"), col("seq"))
-      .join(baseKeys, Seq("repo", "path"), "left")
-      .agg(
-        sum(when(win, 1L).otherwise(0L)).as("applied"),
-        sum(when(win && col("op") === Ops.Delete, 1L).otherwise(0L)).as("tombstones"),
-        sum(when(win && col("op") =!= Ops.Delete, 1L).otherwise(0L)).as("upserts"),
-        sum(when(!win && !dup, 1L).otherwise(0L)).as("conflicts"),
-        sum(when(dup, 1L).otherwise(0L)).as("duplicates"))
-      .collect()(0))
-    def m(i: Int): Long = if (mrow.isNullAt(i)) 0L else mrow.getLong(i)
-    val (applied, tombstones, upserts, conflicts, duplicates) = (m(0), m(1), m(2), m(3), m(4))
-
-    // ---- the merge itself ----
     val afterFields: Set[String] = delta.schema("after").dataType match {
       case s: org.apache.spark.sql.types.StructType => s.fieldNames.toSet
       case _ => Set.empty
@@ -117,9 +97,20 @@ object MergeApply {
     val joined = b.join(d,
       col("b.repo") === col("d.repo") && col("b.path") === col("d.path"), "full_outer")
 
-    val dWins = col("d.seq").isNotNull &&
-      (col(s"b.${LakeTable.SeqCol}").isNull || col("d.seq") > col(s"b.${LakeTable.SeqCol}"))
+    val baseSeq = col(s"b.${LakeTable.SeqCol}")
+    val dWins = col("d.seq").isNotNull && (baseSeq.isNull || col("d.seq") > baseSeq)
+    val dStale = col("d.seq").isNotNull && baseSeq.isNotNull && col("d.seq") < baseSeq
+    val dDup = col("d.seq").isNotNull && baseSeq.isNotNull && col("d.seq") === baseSeq
     val isDel = col("d.op") === Ops.Delete
+
+    // lineage metrics ride along with the write (no extra pass)
+    val obs = Observation(s"merge-${java.util.UUID.randomUUID()}")
+    val observed = joined.observe(obs,
+      sum(when(dWins, 1L).otherwise(0L)).as("applied"),
+      sum(when(dWins && isDel, 1L).otherwise(0L)).as("tombstones"),
+      sum(when(dWins && !isDel, 1L).otherwise(0L)).as("upserts"),
+      sum(when(dStale, 1L).otherwise(0L)).as("conflicts"),
+      sum(when(dDup, 1L).otherwise(0L)).as("duplicates"))
 
     val outCols = sch.columns.map { c =>
       val tp = TableSchema.toSpark(c.dataType)
@@ -133,10 +124,10 @@ object MergeApply {
         when(dWins && isDel, lit(null).cast(tp))
           .otherwise(col(s"b.${c.name}")).as(c.name)
     } ++ Seq(
-      when(dWins, col("d.seq")).otherwise(col(s"b.${LakeTable.SeqCol}")).as(LakeTable.SeqCol),
+      when(dWins, col("d.seq")).otherwise(baseSeq).as(LakeTable.SeqCol),
       when(dWins, isDel).otherwise(col(s"b.${LakeTable.DeletedCol}")).as(LakeTable.DeletedCol))
 
-    val merged = joined.select(outCols: _*)
+    val merged = observed.select(outCols: _*)
       .withColumn("_bucket", table.bucketExpr(col("repo"), col("path")))
 
     // Route each rewritten bucket to (ideally) one task; salt spreads a hot
@@ -151,8 +142,21 @@ object MergeApply {
         merged.repartition(writeParts, col("_bucket"))
 
     val commitDir = table.newCommitDataDir()
+    // zstd halves the bytes hitting disk vs snappy for this content at a CPU
+    // cost that scales with executors — the right trade for a write-heavy COW
     timed("join+write")(
-      routed.write.mode("overwrite").partitionBy("_bucket").parquet(commitDir))
+      routed.write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("_bucket").parquet(commitDir))
+
+    // `get` blocks until the (already finished) write's listener delivers
+    val mm: Map[String, Any] = obs.get
+    def m(name: String): Long = mm.get(name) match {
+      case Some(v: Long) => v
+      case Some(v: java.lang.Long) => v.longValue()
+      case _ => 0L
+    }
+    val (applied, tombstones, upserts, conflicts, duplicates) =
+      (m("applied"), m("tombstones"), m("upserts"), m("conflicts"), m("duplicates"))
 
     val newBuckets: Seq[BucketFile] =
       timed("footer-list")(table.listWrittenBuckets(commitDir, sch.schemaId))
