@@ -238,6 +238,51 @@ object SparkEntry {
       .select(col("qid"), col("vec_id"), col("cos_e4"), col("rank"))
   }
 
+  /** MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket-join).
+    * No SQL oracle: signatures derive from Spark's xxhash64 — correctness is
+    * proven against driver-side ground truth in TextDedupSpec. */
+  private def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TextDedup
+      .minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 3, bands = 4, rowsPerBand = 4, minEst = 0.24)
+      .select(col("id_a"), col("id_b"),
+        round(col("est_jaccard") * 10000).cast("long").as("est_e4"))
+
+  /** SimHash near-dup pairs (64-bit sketch, pigeonhole-blocked). Rows-only. */
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TextDedup
+      .simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 3, maxHamming = 12)
+
+  /** Exact 1-gram Jaccard between consecutive docs — the SQL-checkable slice
+    * of the n-gram-Jaccard dedup operator. */
+  private def qTextJaccardAdjacent(s: SparkSession, dir: String): DataFrame = {
+    val w = t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), "\\s+"))).as("w"))
+    val sz = w.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = w.alias("a"); val b = w.alias("b")
+    val inter = a.join(b, col("b.w") === col("a.w") &&
+        col("b.doc_id") === col("a.doc_id") + 1)
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") * lit(10000.0) / (col("sz_a") + col("sz_b") - col("inter")))
+          .cast("long").as("jaccard_e4"))
+  }
+
+  /** LSH-bucketed ANN (random hyperplanes, multi-probe) — the 100 TB scale
+    * path; recall vs brute force asserted in TextDedupSpec. Rows-only. */
+  private def qAnnLshTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.functions.AnnSearch
+      .lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3, bits = 8)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos") * 10000).cast("long").as("cos_e4"), col("rank").cast("long"))
+  }
+
   // --------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -257,7 +302,11 @@ object SparkEntry {
     "text_langid" -> (qTextLangid _),
     "token_count" -> (qTokenCount _),
     "embed_norm" -> (qEmbedNorm _),
-    "ann_cosine_topk" -> (qAnnCosineTopk _))
+    "ann_cosine_topk" -> (qAnnCosineTopk _),
+    "dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "dedup_simhash" -> (qDedupSimhash _),
+    "text_jaccard_adjacent" -> (qTextJaccardAdjacent _),
+    "ann_lsh_topk" -> (qAnnLshTopk _))
 
   def oracleSql: Map[String, String] = Map(
     "cdc_validate_project" ->
@@ -363,6 +412,19 @@ object SparkEntry {
         |            length(text) - length(replace(text, ' los ', '')) THEN 'fr'
         |       ELSE 'es' END AS predicted
         |FROM documents""".stripMargin,
+
+    "text_jaccard_adjacent" ->
+      """WITH w AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS w
+        |           FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |          FROM w a JOIN w b ON b.w = a.w AND b.doc_id = a.doc_id + 1
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       CAST(round(inter * 10000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_e4
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

@@ -27,13 +27,13 @@ object TextDedup {
   }
 
   /** MinHash signature (array<bigint> of length k) over a shingle array.
-    * h_j(s) = xxhash64(s) * (2j+1) + j * GOLDEN — min over shingles. */
-  def minHashSignature(shingleArr: Column, k: Int): Column = {
-    val golden = lit(-7046029254386353131L) // 0x9E3779B97F4A7C15 as signed
+    * The j-th permutation is xxhash64 of (j, shingle) — k independent hash
+    * families without affine mixing (whose wraparound would trip ANSI-mode
+    * overflow checks); min over shingles per permutation. */
+  def minHashSignature(shingleArr: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), j =>
       aggregate(shingleArr, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(s) * (j * 2 + 1) + j * golden)))
-  }
+        (acc, s) => least(acc, xxhash64(j, s))))
 
   /** Exact dedup groups: one row per distinct content hash with count and the
     * kept doc (min id) — the hash-groupBy scale path. */

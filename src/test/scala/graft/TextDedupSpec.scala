@@ -1,0 +1,109 @@
+package graft
+
+import graft.functions.{AnnSearch, Keys, TextDedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data operators: near-dup detection + ANN, verified against
+  * brute-force ground truth computed on the driver.
+  */
+class TextDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    Seq(
+      (0L, base),
+      (1L, base),                                           // exact dup of 0
+      (2L, base.replace("today", "tomorrow")),              // near dup of 0
+      (3L, "completely different content about spark catalyst optimizer rules"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again next week"), // near dup
+      (5L, "another unrelated document mentioning merge snapshots and fences")
+    ).toDF("doc_id", "text")
+  }
+
+  test("shingles + minhash signature shapes") {
+    val sh = docs.select(col("doc_id"), TextDedup.shingles(col("text"), 3).as("sh"))
+      .filter(col("doc_id") === 0).collect()(0).getSeq[String](1)
+    assert(sh.head === "the quick brown" && sh.contains("lazy dog again"))
+    val sig = docs.select(TextDedup.minHashSignature(TextDedup.shingles(col("text"), 3), 16))
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length === 16)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = TextDedup.minHashLshPairs(docs, "doc_id", "text", minEst = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)), "exact dup must be found")
+    val est01 = pairs.find(p => p._1 == 0L && p._2 == 1L).get._3
+    assert(est01 === 1.0, "identical docs have estimate 1.0")
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("simhash: identical docs distance 0, near dups close, unrelated far") {
+    val sk = docs.select(col("doc_id"),
+      TextDedup.simHash(TextDedup.shingles(col("text"), 3)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(0L) === sk(1L))
+    assert(java.lang.Long.bitCount(sk(0L) ^ sk(2L)) < java.lang.Long.bitCount(sk(0L) ^ sk(3L)),
+      "near dup must be closer than unrelated")
+    val pairs = TextDedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ngram jaccard: exact math on a known pair") {
+    val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    // doc 0 vs 2: 13 words ⇒ 11 shingles; only the final word differs and it
+    // appears only in the last shingle ⇒ |∩| = 10, |∪| = 12
+    assert(math.abs(pairs((0L, 2L)) - 10.0 / 12.0) < 1e-9)
+  }
+
+  test("exact dedup groups") {
+    val g = TextDedup.exactDupGroups(docs, "doc_id", "text")
+      .filter(col("n") > 1).collect()
+    assert(g.length === 1 && g(0).getLong(1) === 2 && g(0).getLong(2) === 0L)
+  }
+
+  test("ANN: LSH top-k achieves high recall vs brute force") {
+    import spark.implicits._
+    // deterministic synthetic embeddings: 200 vectors in 16 dims, clustered
+    val vecs = (0 until 200).map { i =>
+      val cluster = i % 8
+      val v = (0 until 16).map { d =>
+        val base = math.sin(cluster * 16 + d).toFloat
+        base + 0.05f * graft.util.Rand.uniform(7L, i, d).toFloat
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 10)
+    val bf = AnnSearch.bruteForceTopK(vecs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = AnnSearch.lshTopK(vecs, queries, "vec_id", "embedding", 5, bits = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.8, s"LSH recall too low: $recall")
+  }
+
+  test("key grammar matches the reference's builder") {
+    import spark.implicits._
+    assert(Keys.buildKey(Some("agg"), Some("t"), "7") === "agg,t:7")
+    assert(Keys.buildKey(None, Some("t"), "7") === "t:7")
+    assert(Keys.buildKey(None, None, "7") === "7")
+    val got = Seq(("agg", "t", "7")).toDF("a", "p", "i")
+      .select(
+        Keys.aggregationKey(col("a"), col("p"), col("i")),
+        Keys.aggregationKey(lit(null).cast("string"), col("p"), col("i")),
+        Keys.aggregationKey(col("i")))
+      .collect()(0)
+    assert(got.getString(0) === "agg,t:7")
+    assert(got.getString(1) === "t:7")
+    assert(got.getString(2) === "7")
+  }
+}
