@@ -73,6 +73,36 @@ object Main {
     case "report" =>
       report(spark, args(1))
 
+    case "compact" =>
+      val table = LakeTable.load(spark, args(1))
+      val horizon = if (args.length > 2) Some(args(2).toLong) else None
+      val r = graft.lake.Maintenance.compact(table, tombstoneHorizon = horizon, force = true)
+      println(s"compacted: buckets=${r.bucketsCompacted} tombstonesDropped=${r.tombstonesDropped}")
+      report(spark, args(1))
+
+    case "expire" =>
+      val table = LakeTable.load(spark, args(1))
+      val keep = if (args.length > 2) args(2).toInt else 2
+      val n = graft.lake.Maintenance.expireSnapshots(table, keep)
+      println(s"expired $n snapshots (kept last $keep)")
+
+    case "verify" =>
+      // replay-reconvergence check: replay the log into a fresh table and
+      // compare per-row sha2(content, 256) — the north-rule invariant.
+      val Array(_, logDir, tableDir) = args.take(3)
+      import org.apache.spark.sql.functions._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-verify").toString
+      LakeTable.create(spark, s"$tmp/table")
+      Ingest.replayLog(LakeTable.load(spark, s"$tmp/table"), ChangeLog.readDF(spark, logDir))
+      def sha(dir: String) = LakeTable.load(spark, dir).read()
+        .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+      val diff = sha(tableDir).exceptAll(sha(s"$tmp/table"))
+        .unionAll(sha(s"$tmp/table").exceptAll(sha(tableDir))).count()
+      println(if (diff == 0) "CONVERGED: table matches an independent replay (sha256 per row)"
+              else s"DIVERGED: $diff row-sha differences")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      if (diff != 0) sys.exit(1)
+
     case other =>
       System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
   }
@@ -94,5 +124,8 @@ object Main {
       |  gen     <logDir> [nEvents] [nRepos] [pathsPerRepo] [nPartitions] [ddlEvery]
       |  run     <logDir> <tableDir> <checkpointDir> [maxFilesPerTrigger]
       |  replay  <logDir> <tableDir>
-      |  report  <tableDir>""".stripMargin)
+      |  report  <tableDir>
+      |  compact <tableDir> [tombstoneHorizonSeq]
+      |  expire  <tableDir> [keepSnapshots]
+      |  verify  <logDir> <tableDir>""".stripMargin)
 }

@@ -103,6 +103,14 @@ object MergeApply {
     val dDup = col("d.seq").isNotNull && baseSeq.isNotNull && col("d.seq") === baseSeq
     val isDel = col("d.op") === Ops.Delete
 
+    // no-op update detection — the reference's DiffData strips unchanged
+    // fields and skips empty updates (/root/reference/config/aggregation.go:
+    // 164-207); set-orientedly that's a null-safe compare of the after-image
+    // against the current row, surfaced as a metric
+    val imageUnchanged = afterFields
+      .map(f => col(s"d.after.$f") <=> col(s"b.$f"))
+      .reduceOption(_ && _).getOrElse(lit(false))
+
     // lineage metrics ride along with the write (no extra pass)
     val obs = Observation(s"merge-${java.util.UUID.randomUUID()}")
     val observed = joined.observe(obs,
@@ -110,7 +118,9 @@ object MergeApply {
       sum(when(dWins && isDel, 1L).otherwise(0L)).as("tombstones"),
       sum(when(dWins && !isDel, 1L).otherwise(0L)).as("upserts"),
       sum(when(dStale, 1L).otherwise(0L)).as("conflicts"),
-      sum(when(dDup, 1L).otherwise(0L)).as("duplicates"))
+      sum(when(dDup, 1L).otherwise(0L)).as("duplicates"),
+      sum(when(dWins && !isDel && col(s"b.${LakeTable.SeqCol}").isNotNull &&
+        imageUnchanged, 1L).otherwise(0L)).as("noopUpdates"))
 
     val outCols = sch.columns.map { c =>
       val tp = TableSchema.toSpark(c.dataType)
@@ -166,6 +176,7 @@ object MergeApply {
       "tombstonesWritten" -> tombstones,
       "conflictsLww" -> conflicts,
       "duplicatesIgnored" -> duplicates,
+      "noopUpdates" -> m("noopUpdates"),
       "batches" -> 1L) ++ extraMetrics
     table.commit(affected, newBuckets, fenceDelta, metricsDelta, batchId)
     MergeResult(applied, upserts, tombstones, conflicts, duplicates, affected.size)

@@ -33,9 +33,22 @@ object StreamIngest {
       checkpointDir: String,
       maxFilesPerTrigger: Int = 8,
       availableNow: Boolean = true,
-      cfg: IngestConfig = IngestConfig()): StreamingQuery = {
+      cfg: IngestConfig = IngestConfig(),
+      /** e.g. Some("10 minutes"): state-store dedup of (partition, offset)
+        * ACROSS micro-batches via dropDuplicatesWithinWatermark — for sources
+        * that can re-deliver an event in a different batch within a bounded
+        * event-time window (the per-batch LWW dedup already handles
+        * duplicates inside one batch, and the merge's LWW handles the rest;
+        * this trims the redundant merge work early at bounded state cost). */
+      dedupWithinWatermark: Option[String] = None): StreamingQuery = {
 
-    val events = ChangeLog.readStream(spark, logDir, maxFilesPerTrigger)
+    val raw = ChangeLog.readStream(spark, logDir, maxFilesPerTrigger)
+    val events = dedupWithinWatermark match {
+      case Some(delay) =>
+        raw.withWatermark("ts", delay)
+          .dropDuplicatesWithinWatermark("partition", "offset")
+      case None => raw
+    }
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(0L)
 

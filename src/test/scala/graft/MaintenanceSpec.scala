@@ -1,0 +1,112 @@
+package graft
+
+import graft.consume.{ConsumerRegistry, FileConsumer}
+import graft.functions.Multimodal
+import graft.gen.{ChangelogGen, GenConfig, Oracle}
+import graft.ingest.Ingest
+import graft.lake.{LakeTable, Maintenance}
+import graft.log.ChangeLog
+import graft.operators.NoPkApply
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("compaction merges files, GCs tombstones, preserves live rows; expiry prunes data") {
+    val cfg = GenConfig(seed = 31L, nEvents = 6000L, nRepos = 20, pathsPerRepo = 10,
+      nPartitions = 4, contentLen = 60, pInsert = 0.5, pUpdate = 0.2) // 30% deletes
+    val logDir = TestSpark.tmpDir("graft-comp-log")
+    val tableDir = TestSpark.tmpDir("graft-comp-table")
+    ChangeLog.write(ChangelogGen.events(spark, cfg), logDir, segmentsPerPartition = 3)
+    LakeTable.create(spark, tableDir, numBuckets = 8)
+    // several batches => several rewrites => tombstones + multi-file buckets
+    StreamIngest.run(spark, logDir, tableDir)
+    val table = LakeTable.load(spark, tableDir)
+
+    val before = liveSha(table)
+    val hadTombstones = table.readInternal(table.snapshot, table.snapshot.buckets.keySet)
+      .filter(col("_deleted")).count()
+    assert(hadTombstones > 0, "test needs tombstones to GC")
+
+    val res = Maintenance.compact(table, tombstoneHorizon = Some(Long.MaxValue), force = true)
+    assert(res.tombstonesDropped === hadTombstones)
+    assert(liveSha(table) === before, "compaction must not change live rows")
+    assert(table.readInternal(table.snapshot, table.snapshot.buckets.keySet)
+      .filter(col("_deleted")).count() === 0)
+
+    // oracle check still holds post-compaction
+    val oracle = Oracle.contentSha(Oracle.replay(ChangelogGen.eventsLocal(cfg)))
+      .map { case ((r, p), (sha, _)) => (r, p, sha) }.toSet
+    assert(liveSha(table) === oracle)
+
+    // expiry: keep last 2 snapshots; older data dirs vanish; current reads fine
+    val dataDirs = java.nio.file.Files.list(java.nio.file.Paths.get(tableDir, "data")).count()
+    val expired = Maintenance.expireSnapshots(table, keep = 2)
+    assert(expired > 0)
+    val dataDirsAfter = java.nio.file.Files.list(java.nio.file.Paths.get(tableDir, "data")).count()
+    assert(dataDirsAfter < dataDirs, "unreferenced commit dirs must be deleted")
+    assert(liveSha(LakeTable.load(spark, tableDir)) === oracle, "current snapshot intact")
+  }
+
+  private object StreamIngest {
+    def run(spark: org.apache.spark.sql.SparkSession, logDir: String, tableDir: String): Unit =
+      graft.streaming.StreamIngest.runAvailable(spark, logDir, tableDir,
+        TestSpark.tmpDir("graft-comp-ckpt"), maxFilesPerTrigger = 4)
+  }
+
+  private def liveSha(table: LakeTable): Set[(String, String, String)] =
+    table.read().select(col("repo"), col("path"), sha2(col("content"), 256))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+  test("no-PK fallback: update/delete match the whole before-image") {
+    import spark.implicits._
+    val state = Seq(
+      ("r1", "a", 1), ("r1", "a", 1), // duplicate rows — no PK!
+      ("r2", "b", 2)).toDF("x", "y", "z")
+    val events = Seq(
+      // update matching BOTH duplicate rows -> both become the after-image
+      ("update", 1L, Some(("r1", "a", 1)), Some(("r1", "A", 9))),
+      // delete by full image
+      ("delete", 2L, Some(("r2", "b", 2)), None),
+      // plain insert
+      ("insert", 3L, None, Some(("r3", "c", 3)))
+    ).toDF("op", "seq", "before", "after")
+      .select(col("op"), col("seq"),
+        col("before").cast("struct<x:string,y:string,z:int>").as("before"),
+        col("after").cast("struct<x:string,y:string,z:int>").as("after"))
+    val out = NoPkApply.applyAll(state, events)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq.sorted
+    assert(out === Seq(("r1", "A", 9), ("r1", "A", 9), ("r3", "c", 3)))
+  }
+
+  test("consumer registry: transfer→solve fan-out; a failing consumer never stops the batch") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("graft-consumers")
+    val reg = new ConsumerRegistry
+    reg.register("files", () => new FileConsumer("files", dir))
+    reg.register("boom", () => new graft.consume.Consumer {
+      val name = "boom"
+      def solve(p: org.apache.spark.sql.DataFrame): Unit = throw new RuntimeException("sink down")
+    })
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    reg.fanOut(batch)
+    assert(spark.read.parquet(s"$dir/files").count() === 2)
+    assert(reg.lastFailures.keySet === Set("boom"))
+  }
+
+  test("multimodal: binary columns + partition-wise stub decode") {
+    val media = Multimodal.genMedia(spark, 200)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() === 200)
+    val r = feats.filter(col("media_id") === 7L).collect()(0)
+    assert(r.width >= 16 && r.width < 80, "width from stub header")
+    assert(r.channels >= 1 && r.channels <= 3, "channels from stub header")
+    // deterministic: same seed ⇒ same features
+    val again = Multimodal.extractFeatures(Multimodal.genMedia(spark, 200))
+      .filter(col("media_id") === 7L).collect()(0)
+    assert(r === again)
+    val stats = Multimodal.sizeStats(media.toDF())
+    assert(stats.count() === 3) // image/audio/video
+  }
+}
