@@ -30,6 +30,17 @@ object Dedup {
   def lastWriterPerKey(events: DataFrame): DataFrame =
     events
       .groupBy(col("repo"), col("path"))
+      .agg(graft.functions.LastWriterAgg.lastWriter(
+        struct(col("op"), col("seq"), col("after")), col("seq")).as("_w"))
+      .select(col("repo"), col("path"),
+        col("_w.op").as("op"), col("_w.seq").as("seq"), col("_w.after").as("after"))
+
+  /** Built-in-functions form (max_by) — identical semantics, but Spark plans
+    * it as a SortAggregate (struct buffer ⇒ no hash aggregation); kept for
+    * comparison benchmarks and as the zero-custom-code fallback. */
+  def lastWriterPerKeyMaxBy(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("repo"), col("path"))
       .agg(max_by(struct(col("op"), col("seq"), col("after")), col("seq")).as("_w"))
       .select(col("repo"), col("path"),
         col("_w.op").as("op"), col("_w.seq").as("seq"), col("_w.after").as("after"))

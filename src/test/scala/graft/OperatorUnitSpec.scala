@@ -83,5 +83,26 @@ class OperatorUnitSpec extends AnyFunSuite {
       .select(col("path"), col("seq"), col("after.content"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
     assert(ds === d, "salted two-phase dedup must agree with the direct form")
+    // all four formulations agree (custom agg, max_by, broadcast, salted)
+    val dm = Dedup.lastWriterPerKeyMaxBy(df)
+      .select(col("path"), col("seq"), col("after.content"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(dm === d, "max_by fallback must agree with the custom aggregate")
+    val db = Dedup.lastWriterPerKeyBroadcast(df)
+      .select(col("path"), col("seq"), col("after.content"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(db === d, "broadcast variant must agree with the custom aggregate")
+  }
+
+  test("LastWriterAgg handles null payloads and spill serialization round-trip") {
+    import graft.functions.LastWriterAgg
+    val agg = LastWriterAgg(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(struct(lit("x").as("a"))),
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(1L)))
+    val empty = agg.createAggregationBuffer()
+    val ser = agg.serialize(empty)
+    val rt = agg.deserialize(ser)
+    assert(rt.seq === Long.MinValue && rt.row === null)
+    assert(agg.eval(rt) === null, "empty group evaluates to null")
   }
 }
