@@ -51,6 +51,40 @@ class LakeTableSpec extends AnyFunSuite {
     assert(s.metrics("a") === 2L)
   }
 
+  test("snapshot isolation: a reader pinned to an old snapshot is unaffected by new commits") {
+    import graft.ingest.MergeApply
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.tmpDir("graft-lake-iso")
+    val t = LakeTable.create(spark, dir, numBuckets = 4)
+    def delta(content: String, seq: Long) = {
+      import spark.implicits._
+      Seq(("r1", "p1", "c", "scala", content))
+        .toDF("repo", "path", "commit", "lang", "content")
+        .select(col("repo"), col("path"), lit("insert").as("op"), lit(seq).as("seq"),
+          struct(col("repo"), col("path"), col("commit"), col("lang"), col("content")).as("after"))
+    }
+    MergeApply.merge(t, delta("v1", 1L), Map.empty)
+    val pinned = t.snapshot // reader's view
+    MergeApply.merge(t, delta("v2", 2L), Map.empty)
+    // reader still sees v1 through its pinned snapshot; a fresh read sees v2
+    assert(t.read(pinned).select("content").collect()(0).getString(0) === "v1")
+    assert(t.read().select("content").collect()(0).getString(0) === "v2")
+  }
+
+  test("orphaned commit dir (crash between write and commit) is invisible and expiry removes it") {
+    val dir = TestSpark.tmpDir("graft-lake-orphan")
+    val t = LakeTable.create(spark, dir, numBuckets = 4)
+    t.commit(Set.empty, Seq.empty, Map(0 -> 1L), Map.empty) // v1, referenced data: none
+    // simulate a writer that crashed after writing data but before committing
+    val orphan = t.newCommitDataDir()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(orphan, "_bucket=0"), "") // placeholder file
+    assert(t.read().count() === 0, "orphan data must be invisible to reads")
+    graft.lake.Maintenance.expireSnapshots(t, keep = 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(orphan)),
+      "expiry must GC unreferenced commit dirs")
+  }
+
   test("time travel: snapshotAt reads any committed version") {
     val dir = TestSpark.tmpDir("graft-lake-tt")
     val t = LakeTable.create(spark, dir, numBuckets = 4)

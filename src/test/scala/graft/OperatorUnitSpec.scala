@@ -94,6 +94,27 @@ class OperatorUnitSpec extends AnyFunSuite {
     assert(db === d, "broadcast variant must agree with the custom aggregate")
   }
 
+  test("invalid events dead-letter through the live pipeline without stopping it") {
+    import spark.implicits._
+    import graft.ingest.Ingest
+    import graft.lake.LakeTable
+    val table = LakeTable.create(spark, TestSpark.tmpDir("graft-dl"), numBuckets = 4)
+    val batch = Seq(
+      ev("insert", path = "ok", seq = 1, after = Some(row)),        // valid
+      ev("insert", path = "bad1", seq = 2),                         // missing after
+      ev("update", path = "bad2", seq = 3, after = Some(row)),      // missing before
+      ev("wat", path = "bad3", seq = 4, after = Some(row)),         // unknown op
+      ev("delete", repo = null, path = "bad4", seq = 5, before = Some(row))) // null key
+    val bm = Ingest.applyBatch(table, batch.toDS().toDF())
+    assert(bm.deadLetters === 4)
+    assert(bm.eventsApplied === 1)
+    assert(table.read().count() === 1, "only the valid event lands")
+    val dl = spark.read.parquet(s"${table.dir}/_errors")
+    assert(dl.count() === 4)
+    val reasons = dl.select("_error").collect().map(_.getString(0)).toSet
+    assert(reasons === Set("insert_missing_after", "update_arity", "unknown_op", "null_key"))
+  }
+
   test("LastWriterAgg handles null payloads and spill serialization round-trip") {
     import graft.functions.LastWriterAgg
     val agg = LastWriterAgg(

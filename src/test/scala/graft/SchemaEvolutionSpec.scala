@@ -79,6 +79,13 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(r.getInt(1) === 5, "update must preserve columns absent from the image " +
       "(reference: UPDATE SET only carried fields, event/sql_maker.go:161-177)")
 
+    // widen the populated int column to long: OLD files (written as int) must
+    // read back as long through the ID-based mapping + Catalyst cast
+    table.evolveSchema(_.widenType("stars", "long"))
+    val widened = table.read().select("stars").collect()(0)
+    assert(widened.getLong(0) === 5L, "int data must read as long post-widen")
+    assert(table.read().schema("stars").dataType.typeName === "long")
+
     // delete tombstones everything
     val del = spark.createDataFrame(Seq(("r1", "p1")))
       .toDF("repo", "path")
