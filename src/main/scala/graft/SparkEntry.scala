@@ -152,6 +152,30 @@ object SparkEntry {
         countDistinct(col("user_id")).as("n_users"),
         cents(col("value")).as("value_cents"))
 
+  /** Enrichment lookup: the reference's rules read reference data from the
+    * upstream DB per event (BasicRuler.DBExecute,
+    * /root/reference/rules/base_ruler.go:152-170); set-orientedly that is a
+    * BROADCAST join of a small dimension onto the event stream — zero
+    * shuffle of the big side. */
+  private def qEnrichBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("nkey", col("user_id") % 25)
+    val dim = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    ev.join(broadcast(dim), ev("nkey") === dim("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), cents(col("value")).as("value_cents"))
+  }
+
+  /** Hot-key detection (skew instrumentation, SURVEY §2.6 P5): the keys whose
+    * event counts dominate — what the salting path keys off. */
+  private def qHotKeys(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("n").desc, col("user_id"))
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+  }
+
   // ---------------------------------------- training-data pipeline operators
 
   /** Exact dedup: hash-groupBy on full content. */
@@ -296,6 +320,8 @@ object SparkEntry {
     "cdc_diff_changed" -> (qDiffChanged _),
     "cdc_fence_report" -> (qFenceReport _),
     "cdc_op_metrics" -> (qOpMetrics _),
+    "cdc_enrich_broadcast" -> (qEnrichBroadcast _),
+    "cdc_hot_keys" -> (qHotKeys _),
     "dedup_exact" -> (qDedupExact _),
     "doc_fingerprint" -> (qDocFingerprint _),
     "text_quality" -> (qTextQuality _),
@@ -375,6 +401,19 @@ object SparkEntry {
       s"""SELECT op, count(*) AS n, count(DISTINCT user_id) AS n_users,
          |       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
          |FROM (SELECT *, $opSql AS op FROM events) GROUP BY op""".stripMargin,
+
+    "cdc_enrich_broadcast" ->
+      """SELECT n.n_name, count(*) AS n,
+        |       CAST(round(sum(e.value) * 100) AS BIGINT) AS value_cents
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |GROUP BY n.n_name""".stripMargin,
+
+    "cdc_hot_keys" ->
+      """SELECT user_id, n, rank FROM (
+        |  SELECT user_id, count(*) AS n,
+        |         CAST(row_number() OVER (ORDER BY count(*) DESC, user_id) AS BIGINT) AS rank
+        |  FROM events GROUP BY user_id
+        |) WHERE rank <= 10""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keeper
