@@ -26,14 +26,31 @@ object TextDedup {
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
-  /** MinHash signature (array<bigint> of length k) over a shingle array.
-    * The j-th permutation is xxhash64 of (j, shingle) — k independent hash
-    * families without affine mixing (whose wraparound would trip ANSI-mode
-    * overflow checks); min over shingles per permutation. */
+  /** Shingle hashes: strings hashed to longs exactly once. */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => xxhash64(s))
+
+  /** MinHash signature (array<bigint> of length k) from PRE-HASHED shingles:
+    * ONE traversal of the hash array with a k-wide running-min accumulator;
+    * permutation j re-mixes the 8-byte base hash as xxhash64(j, h) (no string
+    * re-hashing, no affine multiplication that would trip ANSI overflow).
+    *
+    * Single-traversal matters doubly here: higher-order functions are
+    * interpreted, and a per-permutation formulation (k lambdas each folding
+    * the array) re-evaluates its argument expression k times — Catalyst's
+    * CollapseProject even re-inlines a pre-projected hash column, so the
+    * shape of THIS expression is the only reliable way to hash once
+    * (a k-lambda draft measured ~18× slower on 5000 docs). */
+  def minHashSignatureFromHashes(hashes: Column, k: Int): Column =
+    aggregate(
+      hashes,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (a, j) => least(a, xxhash64(j, h))))
+
+  /** Convenience one-shot form over a shingle array. */
   def minHashSignature(shingleArr: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), j =>
-      aggregate(shingleArr, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(j, s))))
+    minHashSignatureFromHashes(transform(shingleArr, s => xxhash64(s)), k)
 
   /** Exact dedup groups: one row per distinct content hash with count and the
     * kept doc (min id) — the hash-groupBy scale path. */
@@ -55,8 +72,13 @@ object TextDedup {
       shingleLen: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
       minEst: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
+    // materialize signatures once — BOTH sides of the LSH self-join would
+    // otherwise recompute the k minhash passes per row (at lake scale:
+    // checkpoint the signature table instead of caching)
     val sig = docs
-      .select(col(id).as("doc"), minHashSignature(shingles(col(text), shingleLen), k).as("sig"))
+      .select(col(id).as("doc"), shingleHashes(col(text), shingleLen).as("hs"))
+      .select(col("doc"), minHashSignatureFromHashes(col("hs"), k).as("sig"))
+      .persist()
     // band key: hash of the band's slice of the signature
     val banded = sig.select(col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -80,16 +102,19 @@ object TextDedup {
     * shingles of ±1 according to bit i of the shingle's hash. Declarative:
     * per-bit aggregate over the (hash-projected) shingle array. */
   def simHash(shingleArr: Column): Column = {
-    val hashes = transform(shingleArr, s => xxhash64(s))
-    // acc_i = Σ_s (2*bit_i(h(s)) - 1); simhash bit i = acc_i > 0.
-    // The 64 per-bit aggregates are built at plan time (shift amounts must be
-    // literals); at extreme scale a custom TypedImperativeAggregate would
-    // collapse this to one pass, but the declarative form stays in codegen.
-    (0 until 64).map { i =>
-      val bitSum = aggregate(hashes, lit(0L),
-        (a2, h) => a2 + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    // ONE traversal of the shingle hashes with a 64-wide counter array:
+    // counts[i] += ±1 by bit i of xxhash64(shingle). (A per-bit formulation
+    // would re-evaluate the hash 64× per shingle — higher-order functions are
+    // interpreted, so single-pass matters.) Bit masks are disjoint, so the
+    // final OR of per-bit masks is a plain sum.
+    val masks = typedlit((0 until 64).map(1L << _))
+    val counts = aggregate(
+      transform(shingleArr, s => xxhash64(s)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, masks,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(zip_with(counts, masks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
   }
 
   /** Hamming distance between two 64-bit sketches. */
@@ -103,6 +128,7 @@ object TextDedup {
       shingleLen: Int = 3, maxHamming: Int = 3): DataFrame = {
     val sk = docs.select(col(id).as("doc"),
       simHash(shingles(col(text), shingleLen)).as("sketch"))
+      .persist() // self-joined below — compute sketches once
     val blocked = sk.select(col("doc"), col("sketch"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("sketch"), q * 16).bitwiseAND(lit(0xffffL))): _*)))
