@@ -174,6 +174,8 @@ object ScalingBench {
     println(line)
 
     def runsStr(rs: Seq[Double]) = rs.map(r => f"$r%.2f").mkString(", ")
+    // append to the run log (BENCH/BASELINE.md is the curated evidence doc;
+    // raw runs accumulate in BENCH/runs.md so no single run gets cherry-picked)
     val md =
       f"""# BENCH/BASELINE.md — scaling-efficiency evidence
          |
@@ -217,7 +219,10 @@ object ScalingBench {
          |""".stripMargin
     val p = java.nio.file.Paths.get("BENCH")
     java.nio.file.Files.createDirectories(p)
-    java.nio.file.Files.writeString(p.resolve("BASELINE.md"), md)
+    val f = p.resolve("runs.md")
+    val prev = if (java.nio.file.Files.exists(f)) java.nio.file.Files.readString(f)
+      else "# BENCH/runs.md — raw ScalingBench run log (curated summary: BASELINE.md)\n"
+    java.nio.file.Files.writeString(f, prev + md)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }
 }
