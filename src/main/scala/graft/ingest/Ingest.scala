@@ -169,7 +169,9 @@ object Ingest {
         ddls.foreach { case (ddlSeq, ddl) =>
           mergeSegment(rowEvents.filter(col("seq") > lower && col("seq") < ddlSeq),
             Map.empty, isLast = false)
-          applyDdl(table, ddl)
+          // DDL fence: a retried batch skips DDL already in the schema log —
+          // per-op checks cannot recognize an add→widen→rename chain as done
+          if (ddlSeq > table.snapshot.ddlSeq) applyDdl(table, ddlSeq, ddl)
           lower = ddlSeq
         }
         mergeSegment(rowEvents.filter(col("seq") > lower), fenceDelta, isLast = true)
@@ -189,15 +191,42 @@ object Ingest {
   def replayLog(table: LakeTable, log: DataFrame, cfg: IngestConfig = IngestConfig()): BatchMetrics =
     applyBatch(table, log, batchId = table.snapshot.committedBatchId + 1, cfg)
 
-  private def applyDdl(table: LakeTable, ddl: Row): Unit = {
+  /** Apply one DDL event. Idempotence is guaranteed by the snapshot's
+    * `ddlSeq` fence at the call site (a foreachBatch retry re-delivers the
+    * whole batch; a crash between the schema-evolution commit and the final
+    * data commit must not re-apply DDL). The per-op checks below are a second
+    * line of defense for out-of-band schema edits: a DDL whose effect is
+    * already present is a no-op, a conflicting one dead-letters.
+    */
+  private def applyDdl(table: LakeTable, ddlSeq: Long, ddl: Row): Unit = {
     def s(name: String): String = {
       val i = ddl.fieldIndex(name)
       if (ddl.isNullAt(i)) null else ddl.getString(i)
     }
+    val sch = table.schema
     s("kind") match {
-      case "add_column" => table.evolveSchema(_.addColumn(s("column"), s("toType")))
-      case "rename_column" => table.evolveSchema(_.renameColumn(s("column"), s("newName")))
-      case "widen_type" => table.evolveSchema(_.widenType(s("column"), s("toType")))
+      case "add_column" =>
+        sch.find(s("column")) match {
+          case Some(c) if c.dataType == s("toType") => () // already applied
+          case Some(c) =>
+            appendDeadLetterNote(table,
+              s"add_column ${s("column")} type conflict: have ${c.dataType}, want ${s("toType")}")
+          case None => table.evolveSchema(_.addColumn(s("column"), s("toType")), ddlSeq)
+        }
+      case "rename_column" =>
+        (sch.find(s("column")), sch.find(s("newName"))) match {
+          case (Some(_), None) => table.evolveSchema(_.renameColumn(s("column"), s("newName")), ddlSeq)
+          case (None, Some(_)) => () // already applied
+          case _ =>
+            appendDeadLetterNote(table, s"rename_column ${s("column")}→${s("newName")} unresolvable")
+        }
+      case "widen_type" =>
+        sch.find(s("column")) match {
+          case Some(c) if c.dataType == s("toType") => () // already applied
+          case Some(_) => table.evolveSchema(_.widenType(s("column"), s("toType")), ddlSeq)
+          case None =>
+            appendDeadLetterNote(table, s"widen_type on missing column ${s("column")}")
+        }
       case other =>
         // unknown DDL: dead-letter semantics — record, don't crash.
         appendDeadLetterNote(table, s"unknown ddl kind: $other")

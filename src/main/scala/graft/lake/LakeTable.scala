@@ -105,7 +105,8 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
       fenceDelta: Map[Int, Long],
       metricsDelta: Map[String, Long],
       batchId: Long = -1L,
-      newSchema: Option[TableSchema] = None): Snapshot = {
+      newSchema: Option[TableSchema] = None,
+      ddlSeq: Long = -1L): Snapshot = {
     val cur = snap
     val schemas =
       newSchema match {
@@ -130,15 +131,18 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
       metrics = mergedMetrics,
       committedBatchId = math.max(batchId, cur.committedBatchId),
       schemas = schemas,
-      tsMillis = System.currentTimeMillis())
+      tsMillis = System.currentTimeMillis(),
+      ddlSeq = math.max(ddlSeq, cur.ddlSeq))
     LakeTable.writeSnapshotAtomic(dir, next)
     snap = next
     next
   }
 
-  /** Schema-only evolution commit (DDL barrier, SURVEY §3.2). */
-  def evolveSchema(f: TableSchema => TableSchema): Snapshot =
-    commit(Set.empty, Seq.empty, Map.empty, Map.empty, newSchema = Some(f(schema)))
+  /** Schema-only evolution commit (DDL barrier, SURVEY §3.2). `ddlSeq` is
+    * the applied DDL event's log seq — the schema-evolution fence. */
+  def evolveSchema(f: TableSchema => TableSchema, ddlSeq: Long = -1L): Snapshot =
+    commit(Set.empty, Seq.empty, Map.empty, Map.empty, newSchema = Some(f(schema)),
+      ddlSeq = ddlSeq)
 
   /** Directory for a new commit's data files. */
   def newCommitDataDir(): String = {
@@ -234,7 +238,7 @@ object LakeTable {
       version = 0L, parentVersion = -1L, schemaId = schema.schemaId,
       numBuckets = numBuckets, buckets = Map.empty, fence = Map.empty,
       metrics = Map.empty, committedBatchId = -1L, schemas = Seq(schema),
-      tsMillis = System.currentTimeMillis())
+      tsMillis = System.currentTimeMillis(), ddlSeq = -1L)
     writeSnapshotAtomic(dir, s0)
     new LakeTable(spark, dir, s0)
   }

@@ -31,7 +31,11 @@ final case class Snapshot(
     metrics: Map[String, Long],
     committedBatchId: Long,
     schemas: Seq[TableSchema],
-    tsMillis: Long) {
+    tsMillis: Long,
+    /** high-water mark of applied DDL events' `seq` — schema evolution is
+      * fenced exactly like data (a retried batch skips already-applied DDL,
+      * which per-op checks cannot do for add→widen→rename chains). */
+    ddlSeq: Long = -1L) {
 
   def schema: TableSchema = schemas.find(_.schemaId == schemaId).get
   def schemaById(id: Int): TableSchema = schemas.find(_.schemaId == id).get
@@ -43,6 +47,7 @@ final case class Snapshot(
     "schemaId" -> schemaId.toString,
     "numBuckets" -> numBuckets.toString,
     "committedBatchId" -> committedBatchId.toString,
+    "ddlSeq" -> ddlSeq.toString,
     "tsMillis" -> tsMillis.toString,
     "buckets" -> Json.arrOf(buckets.toSeq.sortBy(_._1).map { case (_, b) =>
       Json.obj(
@@ -72,6 +77,7 @@ object Snapshot {
       metrics = Json.objFields(n, "metrics").map { case (k, v) => k -> v.asLong() }.toMap,
       committedBatchId = Json.long(n, "committedBatchId"),
       schemas = Json.arr(n, "schemas").map(TableSchema.fromJsonNode),
-      tsMillis = Json.long(n, "tsMillis"))
+      tsMillis = Json.long(n, "tsMillis"),
+      ddlSeq = if (n.has("ddlSeq")) Json.long(n, "ddlSeq") else -1L)
   }
 }
