@@ -20,10 +20,12 @@ import org.apache.spark.sql.types._
   * DDL's `seq`, rows below it apply under the old schema, then the schema
   * evolves (a schema-only snapshot commit), then the rest applies.
   *
-  * Job economy (scale note): one batch costs exactly
-  *   1 stats aggregation + 1 dedup/merge pipeline + 1 metrics key-join +
-  *   1 bucket write (+ tiny driver-side footer reads for file counts),
-  * all distributed; no per-event driver work, no collect of event data.
+  * Job economy (scale note): one batch costs exactly TWO distributed jobs —
+  * a per-partition stats pass (counts, high-water marks, dead-letter counts,
+  * and affected-bucket discovery via collect_set) and the dedup→merge→write
+  * pipeline (lineage metrics ride it via Dataset.observe) — plus tiny
+  * driver-side footer reads and a JSONL lineage append. No per-event driver
+  * work, no collect of event data.
   */
 object Ingest {
 

@@ -75,10 +75,15 @@ object ChangeLog {
   def readDF(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(Schemas.changeEvent).parquet(dir)
 
-  /** Streaming tail. File-stream sources require an explicit schema. */
+  /** Streaming tail. File-stream sources require an explicit schema.
+    * maxFileAge is disabled: segment mtimes ENCODE offsets (see
+    * stampMtimesByOffset), so on a log spanning more than 7 days' worth of
+    * offset-milliseconds the default age filter would silently ignore the
+    * oldest segments. */
   def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 8): DataFrame =
     spark.readStream
       .schema(Schemas.changeEvent)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("maxFileAge", "36500d")
       .parquet(dir)
 }
