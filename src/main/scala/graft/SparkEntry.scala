@@ -241,21 +241,19 @@ object SparkEntry {
         .cast("long").as("norm_e4"))
 
   /** Brute-force cosine top-k over the embedding column (ANN baseline):
-    * 8 query vectors broadcast against all, top-3 by rounded cosine. */
+    * 8 query vectors broadcast against all, top-3 by rounded cosine.
+    * NOTE: ranks by the ROUNDED cosine (ties broken by id) so the ordering is
+    * bit-identical to the DuckDB oracle — hence the rounding happens before
+    * AnnSearch's rank would; implemented on AnnSearch's cosine kernel. */
   private def qAnnCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AnnSearch
     val e = t(s, dir, "embeddings")
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-    val norm = (a: Column) => sqrt(aggregate(a, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val pairs = broadcast(q).crossJoin(e)
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
-        round(dot(col("qe"), col("embedding")) /
-          (norm(col("qe")) * norm(col("embedding"))) * 10000).cast("long").as("cos_e4"))
+        round(AnnSearch.cosine(col("qe"), col("embedding")) * 10000).cast("long").as("cos_e4"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_e4").desc, col("vec_id"))
     pairs.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)

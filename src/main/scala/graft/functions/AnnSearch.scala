@@ -45,15 +45,22 @@ object AnnSearch {
   /** H-bit random-hyperplane sign sketch. Plane h's component i is a
     * deterministic pseudo-random value in [-0.5, 0.5) derived from
     * xxhash64(h, i) — reproducible across sessions, no stored model. */
-  def hyperplaneSketch(vec: Column, bits: Int): Column =
-    (0 until bits).map { h =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") *
-            ((pmod(xxhash64(lit(h), i), lit(100000L)).cast("double") / 100000.0) - 0.5)),
-        lit(0.0), (a2, x) => a2 + x)
-      when(proj > 0, lit(1L << h)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  def hyperplaneSketch(vec: Column, bits: Int): Column = {
+    // ONE traversal of the vector with a bits-wide projection accumulator
+    // (higher-order functions are interpreted; a per-bit formulation would
+    // re-fold the vector `bits` times — same lesson as TextDedup.simHash)
+    val masks = typedlit((0 until bits).map(1L << _))
+    val indexed = zip_with(vec, sequence(lit(0), size(vec) - 1),
+      (x, i) => struct(x.cast("double").as("x"), i.as("i")))
+    val projs = aggregate(
+      indexed,
+      array_repeat(lit(0.0), bits),
+      (acc, e) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
+        (a, h) => a + e.getField("x") *
+          ((pmod(xxhash64(h, e.getField("i")), lit(100000L)).cast("double") / 100000.0) - 0.5)))
+    aggregate(zip_with(projs, masks, (pj, m) => when(pj > 0, m).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+  }
 
   /** LSH-bucketed ANN: candidates share a sketch bucket (multi-probe: the
     * query also probes all buckets at hamming distance 1), exact cosine

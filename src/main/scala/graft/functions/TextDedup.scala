@@ -120,18 +120,30 @@ object TextDedup {
   /** Hamming distance between two 64-bit sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on the 4 16-bit sketch quarters (a pair
-    * within hamming distance ≤ 3 of 64 bits must agree on at least one
-    * quarter — pigeonhole), then verify with the true hamming distance. */
+  /** SimHash near-dup pairs with pigeonhole blocking: the 64-bit sketch is
+    * split into (maxHamming + 1) bit-bands — a pair within hamming distance
+    * maxHamming MUST agree on at least one band — candidates share any band
+    * value, then the TRUE hamming distance verifies. (Blocking on fewer bands
+    * than maxHamming+1 would silently drop qualifying pairs whose differing
+    * bits spread across all bands.) More bands ⇒ narrower bands ⇒ more
+    * candidates to verify: recall is exact, cost grows with maxHamming. */
   def simHashPairs(
       docs: DataFrame, id: String, text: String,
       shingleLen: Int = 3, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31, "maxHamming out of range")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands // last band absorbs the remainder bits
     val sk = docs.select(col(id).as("doc"),
       simHash(shingles(col(text), shingleLen)).as("sketch"))
       .persist() // self-joined below — compute sketches once
+    val bandExprs = (0 until nBands).map { q =>
+      val lo = q * width
+      val w = if (q == nBands - 1) 64 - lo else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      shiftright(col("sketch"), lo).bitwiseAND(lit(mask))
+    }
     val blocked = sk.select(col("doc"), col("sketch"),
-      posexplode(array((0 until 4).map(q =>
-        shiftright(col("sketch"), q * 16).bitwiseAND(lit(0xffffL))): _*)))
+      posexplode(array(bandExprs: _*)))
       .withColumnRenamed("pos", "q").withColumnRenamed("col", "block")
     val a = blocked.alias("a"); val b = blocked.alias("b")
     a.join(b, col("a.q") === col("b.q") && col("a.block") === col("b.block") &&

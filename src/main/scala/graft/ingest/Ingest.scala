@@ -141,16 +141,25 @@ object Ingest {
 
       var applied = 0L; var tombstones = 0L; var conflicts = 0L
 
-      def mergeSegment(seg: DataFrame, fence: Map[Int, Long], isLast: Boolean): Unit = {
+      def mergeSegment(seg: DataFrame, fence: Map[Int, Long], isLast: Boolean,
+          wholeBatch: Boolean): Unit = {
         val deduped =
           if (cfg.saltedDedup > 1) Dedup.lastWriterPerKeySalted(seg, cfg.saltedDedup)
           else Dedup.lastWriterPerKey(seg)
+        // the stats pass discovered buckets for the WHOLE batch; that hint is
+        // exact only for the undivided batch. A DDL-split segment must
+        // discover its own buckets (merge's fallback distinct) or every
+        // segment would copy-on-write-rewrite every bucket the batch touches.
+        val hint =
+          if (!wholeBatch) None
+          else if (rowCount > 0) Some(affectedBuckets)
+          else Some(Set.empty[Int])
         val r = MergeApply.merge(table, deduped, fence,
           batchId = if (isLast) batchId else -1L, salt = cfg.salt,
           extraMetrics =
             if (isLast) Map("deadLetters" -> dlCount, "eventsSeen" -> total)
             else Map.empty,
-          affectedHint = if (rowCount > 0) Some(affectedBuckets) else Some(Set.empty))
+          affectedHint = hint)
         applied += r.eventsApplied; tombstones += r.tombstonesWritten
         conflicts += r.conflictsLww
       }
@@ -165,18 +174,19 @@ object Ingest {
           .sortBy(_._1)
 
       if (ddls.isEmpty) {
-        mergeSegment(rowEvents, fenceDelta, isLast = true)
+        mergeSegment(rowEvents, fenceDelta, isLast = true, wholeBatch = true)
       } else {
         var lower = Long.MinValue
         ddls.foreach { case (ddlSeq, ddl) =>
           mergeSegment(rowEvents.filter(col("seq") > lower && col("seq") < ddlSeq),
-            Map.empty, isLast = false)
+            Map.empty, isLast = false, wholeBatch = false)
           // DDL fence: a retried batch skips DDL already in the schema log —
           // per-op checks cannot recognize an add→widen→rename chain as done
           if (ddlSeq > table.snapshot.ddlSeq) applyDdl(table, ddlSeq, ddl)
           lower = ddlSeq
         }
-        mergeSegment(rowEvents.filter(col("seq") > lower), fenceDelta, isLast = true)
+        mergeSegment(rowEvents.filter(col("seq") > lower), fenceDelta,
+          isLast = true, wholeBatch = false)
       }
 
       val snap1 = table.snapshot

@@ -156,9 +156,8 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
     * metadata reads — no Spark job; at real cluster scale this would be a
     * small parallel metadata task, as in Iceberg manifests). */
   def listWrittenBuckets(commitDir: String, schemaId: Int): Seq[BucketFile] = {
-    val dirs = Files.list(Paths.get(commitDir)).iterator().asScala
+    val dirs = LakeTable.listDir(Paths.get(commitDir))
       .filter(p => p.getFileName.toString.startsWith("_bucket="))
-      .toSeq
     // footer reads are independent metadata fetches — do them concurrently
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
@@ -166,7 +165,7 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
     val futures = dirs.map { p =>
       Future {
         val b = p.getFileName.toString.stripPrefix("_bucket=").toInt
-        val rows = Files.list(p).iterator().asScala
+        val rows = LakeTable.listDir(p)
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .map(f => parquetRowCount(f))
           .sum
@@ -225,12 +224,17 @@ object LakeTable {
   private[lake] def latestSnapshot(dir: String): Option[Snapshot] = {
     val sd = snapshotsDir(dir)
     if (!Files.isDirectory(sd)) return None
-    val latest = Files.list(sd).iterator().asScala
+    val latest = listDir(sd)
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .toSeq.sorted.lastOption
+      .sorted.lastOption
     latest.map(n => Snapshot.fromJson(Files.readString(sd.resolve(n))))
   }
+
+  /** Files.list with guaranteed stream close (each open stream holds a
+    * directory fd; the per-commit hot path must not leak them). */
+  private[graft] def listDir(p: Path): Seq[Path] =
+    scala.util.Using.resource(Files.list(p))(_.iterator().asScala.toSeq)
 
   def create(spark: SparkSession, dir: String, numBuckets: Int = 64,
       schema: TableSchema = TableSchema.base): LakeTable = {

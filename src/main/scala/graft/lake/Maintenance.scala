@@ -34,15 +34,16 @@ object Maintenance {
     if (candidates.isEmpty) return CompactionResult(0, 0L)
 
     val base = table.readInternal(snap, candidates)
-    val kept = tombstoneHorizon match {
-      case Some(h) => base.filter(!col(LakeTable.DeletedCol) || col(LakeTable.SeqCol) > h)
-      case None => base
+    // count dropped tombstones in-flight with the rewrite (no second scan)
+    val obs = org.apache.spark.sql.Observation(
+      s"compact-${java.util.UUID.randomUUID()}")
+    val isExpired = tombstoneHorizon match {
+      case Some(h) => col(LakeTable.DeletedCol) && col(LakeTable.SeqCol) <= h
+      case None => org.apache.spark.sql.functions.lit(false)
     }
-    val dropped = tombstoneHorizon match {
-      case Some(h) =>
-        base.filter(col(LakeTable.DeletedCol) && col(LakeTable.SeqCol) <= h).count()
-      case None => 0L
-    }
+    val kept = base
+      .observe(obs, sum(when(isExpired, 1L).otherwise(0L)).as("dropped"))
+      .filter(!isExpired)
     val routed = kept
       .withColumn("_bucket", table.bucketExpr(col("repo"), col("path")))
       .repartition(math.max(1, math.min(candidates.size,
@@ -51,6 +52,11 @@ object Maintenance {
     routed.write.mode("overwrite").option("compression", "zstd")
       .partitionBy("_bucket").parquet(commitDir)
     val newBuckets = table.listWrittenBuckets(commitDir, snap.schemaId)
+    val dropped = obs.get.get("dropped") match {
+      case Some(v: java.lang.Long) => v.longValue()
+      case Some(v: Long) => v
+      case _ => 0L
+    }
     table.commit(candidates, newBuckets, Map.empty,
       Map("compactions" -> 1L, "tombstonesExpired" -> dropped))
     CompactionResult(candidates.size, dropped)
@@ -63,11 +69,11 @@ object Maintenance {
     require(keep >= 1)
     val dir = Paths.get(table.dir)
     val snapDir = dir.resolve("snapshots")
-    val versions = Files.list(snapDir).iterator().asScala
+    val versions = LakeTable.listDir(snapDir)
       .map(_.getFileName.toString)
       .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
         n.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq.sorted
+      .sorted
     val retained = versions.takeRight(keep)
     val expired = versions.dropRight(keep)
 
@@ -77,7 +83,7 @@ object Maintenance {
     }.toSet
     val dataDir = dir.resolve("data")
     if (Files.isDirectory(dataDir)) {
-      Files.list(dataDir).iterator().asScala.toSeq.foreach { commitDir =>
+      LakeTable.listDir(dataDir).foreach { commitDir =>
         if (!referenced.contains(commitDir))
           org.apache.commons.io.FileUtils.deleteQuietly(commitDir.toFile)
       }
@@ -88,5 +94,5 @@ object Maintenance {
 
   private def fileCount(p: Path): Int =
     if (!Files.isDirectory(p)) 0
-    else Files.list(p).iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    else LakeTable.listDir(p).count(_.getFileName.toString.endsWith(".parquet"))
 }

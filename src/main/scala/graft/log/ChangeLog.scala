@@ -22,17 +22,24 @@ object ChangeLog {
     * by offset, so a streaming tail sees roughly offset-ordered batches. */
   def write(ds: Dataset[ChangeEvent], dir: String, segmentsPerPartition: Int = 4): Unit = {
     import org.apache.spark.sql.functions._
-    val nPart = ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // contiguous offset-range segments (NOT modulo striping): each segment
-    // file covers a disjoint offset range, so mtime-ordered file delivery is
-    // offset-ordered within a partition — a live tail's natural property
-    val maxOffset = ds.toDF().agg(max(col("offset"))).collect()(0).getLong(0)
-    val segWidth = math.max(1L, maxOffset / segmentsPerPartition + 1L)
+    // Each output task must hold a CONTIGUOUS (partition, offset) slice:
+    // a hash repartition on (partition, segment) can collide two segments of
+    // the same log partition into one task = one parquet file spanning
+    // non-adjacent offset ranges, which breaks the disjoint-range contract
+    // that mtime-ordered (offset-ordered) delivery — and with it
+    // orderedDelivery fence filtering — relies on. Range partitioning makes
+    // every file contiguous by construction.
+    val maxOffsetRow = ds.toDF().agg(max(col("offset"))).collect()(0)
+    if (maxOffsetRow.isNullAt(0)) {
+      // empty changelog: still produce a valid (empty) log dir
+      ds.toDF().write.mode("overwrite").partitionBy("partition").parquet(dir)
+      return
+    }
+    val nPartitions = ds.toDF().agg(countDistinct(col("partition"))).collect()(0).getLong(0).toInt
+    val nOut = math.max(1, nPartitions * segmentsPerPartition)
     ds.toDF()
-      .withColumn("_seg", (col("offset") / lit(segWidth)).cast("int"))
-      .repartition(nPart, col("partition"), col("_seg"))
+      .repartitionByRange(nOut, col("partition"), col("offset"))
       .sortWithinPartitions(col("partition"), col("offset"))
-      .drop("_seg")
       .write.mode("overwrite").partitionBy("partition").parquet(dir)
     stampMtimesByOffset(dir)
   }
@@ -48,9 +55,9 @@ object ChangeLog {
     import java.nio.file._
     import scala.jdk.CollectionConverters._
     val base = 1704067200000L // fixed epoch base, deterministic
-    Files.walk(Paths.get(dir)).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .foreach { p =>
+    val files = scala.util.Using.resource(Files.walk(Paths.get(dir)))(
+      _.iterator().asScala.filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq)
+    files.foreach { p =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(p.toUri), new org.apache.hadoop.conf.Configuration())
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)

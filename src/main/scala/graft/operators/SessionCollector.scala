@@ -50,8 +50,9 @@ object SessionCollector {
   final case class SessionGroup(key: String, events: Seq[String], flushedAtLastCount: Int)
 
   /** Exact-semantics streaming collector. Input: Dataset of (key, payload).
-    * Output: flushed groups. Use with OutputMode.Update/Append on a stream;
-    * also callable on a batch Dataset for tests (state times out per batch).
+    * Output: flushed groups. STREAMING ONLY: in batch execution
+    * ProcessingTimeTimeout never fires, so every group buffers and the result
+    * is empty — use [[sessionize]] for batch session aggregation.
     */
   def collectGroupsStreaming(
       events: Dataset[(String, String)],
