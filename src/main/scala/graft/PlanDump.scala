@@ -36,6 +36,29 @@ object PlanDump {
     println("=== SPARKENTRY cdc_merge_fold ===")
     SparkEntry.queries("cdc_merge_fold")(spark, "/root/testdata/sf0.001").explain("formatted")
 
+    // merge strategy plans (set GRAFT_EXPLAIN to print them from inside merge)
+    import graft.ingest.MergeApply
+    def delta(ids: Seq[Long], seq: Long) = {
+      import spark.implicits._
+      ids.toDF("id").select(
+        concat(lit("repo-"), col("id") % 10).as("repo"),
+        concat(lit("f"), col("id")).as("path"),
+        lit("update").as("op"), lit(seq).as("seq"),
+        struct(concat(lit("repo-"), col("id") % 10).as("repo"),
+          concat(lit("f"), col("id")).as("path"),
+          lit("c").as("commit"), lit("scala").as("lang"),
+          lit("x").as("content")).as("after"))
+    }
+    val t2 = LakeTable.create(spark, s"$work/t2", numBuckets = 8, targetFileRows = 500L)
+    println("=== MERGE strategy 1: insert-only (no join) ===")
+    MergeApply.merge(t2, delta(0L until 5000L, 1L), Map.empty)
+    println("=== MERGE strategy 2: broadcast-incremental (base must show NO Exchange) ===")
+    MergeApply.merge(t2, delta(Seq(17L, 23L, 99L), 10L), Map.empty)
+    println("=== MERGE strategy 3: bucket-aligned shuffle (ONE Exchange per side, none after join) ===")
+    MergeApply.merge(t2, delta(0L until 4000L, 20L), Map.empty,
+      selection = Some(MergeApply.selectFiles(t2, delta(0L until 4000L, 20L))
+        .copy(deltaRowsHint = 4000000L))) // force the shuffle path
+
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }

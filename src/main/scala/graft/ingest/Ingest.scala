@@ -96,9 +96,11 @@ object Ingest {
     }
 
     // predicate pieces (pure Columns — composed into ONE stats pass)
+    // try_element_at: a partition absent from the fence map must read as
+    // "no fence" (null→-1), not an ANSI MAP_KEY_DOES_NOT_EXIST error
     val fenceCol =
       if (snap0.fence.isEmpty) lit(-1L)
-      else coalesce(element_at(typedLit(snap0.fence), col("partition")), lit(-1L))
+      else coalesce(try_element_at(typedLit(snap0.fence), col("partition")), lit(-1L))
     val pastFence = col("offset") > fenceCol
     // row-level fence filtering only under an ordered-delivery contract
     val unfenced = if (cfg.orderedDelivery) pastFence else lit(true)
@@ -112,10 +114,12 @@ object Ingest {
     // slower with persist at 2M events.
     val cached = batch
     locally {
-      // ---- single per-partition stats job (counts + high-water marks) ----
+      // ---- single per-partition stats job (counts + high-water marks +
+      //      affected buckets + hit manifest files for the COW pruning) ----
       val isLiveRow = unfenced && err.isNull && isRowOp && passes
       val bucketOf = pmod(hash(col("repo"), col("path")), lit(table.numBuckets))
-      val stats = timed("stats-job")(cached.groupBy(col("partition")).agg(
+      val hkeyOf = xxhash64(col("repo"), col("path"))
+      val baseAggs = Seq(
         count(lit(1)).as("total"),
         max(col("offset")).as("maxOff"),
         sum(when(pastFence, 1L).otherwise(0L)).as("unfenced"),
@@ -123,6 +127,13 @@ object Ingest {
         sum(when(unfenced && err.isNull && col("op") === Ops.Ddl, 1L).otherwise(0L)).as("nddl"),
         sum(when(isLiveRow, 1L).otherwise(0L)).as("nrows"),
         collect_set(when(isLiveRow, bucketOf)).as("buckets"))
+      // file hits ride the same pass when the table has files to prune
+      val aggs =
+        if (snap0.files.isEmpty) baseAggs
+        else baseAggs :+ collect_set(
+          when(isLiveRow, MergeApply.fileHitExpr(snap0, bucketOf, hkeyOf))).as("hits")
+      val stats = timed("stats-job")(cached.groupBy(col("partition"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect())
       def sumL(i: Int): Long = stats.map(r => if (r.isNullAt(i)) 0L else r.getLong(i)).sum
       val total = sumL(1); val pastFenceN = sumL(3)
@@ -134,6 +145,10 @@ object Ingest {
         stats.map(r => r.getInt(0) -> (if (r.isNullAt(6)) 0L else r.getLong(6))).toMap
       val affectedBuckets: Set[Int] =
         stats.flatMap(r => r.getSeq[Int](7)).toSet
+      val hitFiles: Seq[graft.lake.DataFile] =
+        if (snap0.files.isEmpty) Seq.empty
+        else stats.flatMap(_.getSeq[scala.collection.Seq[Int]](8).flatten)
+          .distinct.sorted.map(snap0.files)
 
       if (dlCount > 0) appendDeadLetters(table, cached.filter(unfenced && err.isNotNull), batchId)
 
@@ -146,20 +161,20 @@ object Ingest {
         val deduped =
           if (cfg.saltedDedup > 1) Dedup.lastWriterPerKeySalted(seg, cfg.saltedDedup)
           else Dedup.lastWriterPerKey(seg)
-        // the stats pass discovered buckets for the WHOLE batch; that hint is
-        // exact only for the undivided batch. A DDL-split segment must
-        // discover its own buckets (merge's fallback distinct) or every
-        // segment would copy-on-write-rewrite every bucket the batch touches.
-        val hint =
+        // the stats pass discovered buckets/files for the WHOLE batch; that
+        // selection is exact only for the undivided batch. A DDL-split
+        // segment must discover its own selection (merge's fallback pass) or
+        // every segment would copy-on-write-rewrite every file the batch
+        // touches.
+        val selection =
           if (!wholeBatch) None
-          else if (rowCount > 0) Some(affectedBuckets)
-          else Some(Set.empty[Int])
+          else Some(MergeApply.FileSelection(hitFiles, affectedBuckets, rowCount))
         val r = MergeApply.merge(table, deduped, fence,
           batchId = if (isLast) batchId else -1L, salt = cfg.salt,
           extraMetrics =
             if (isLast) Map("deadLetters" -> dlCount, "eventsSeen" -> total)
             else Map.empty,
-          affectedHint = hint)
+          selection = selection)
         applied += r.eventsApplied; tombstones += r.tombstonesWritten
         conflicts += r.conflictsLww
       }
@@ -245,10 +260,19 @@ object Ingest {
     }
   }
 
-  private def appendDeadLetters(table: LakeTable, dl: DataFrame, batchId: Long): Unit =
-    dl.withColumn("_error", Validate.errorExpr)
-      .withColumn("_batchId", lit(batchId))
-      .write.mode(SaveMode.Append).parquet(s"${table.dir}/_errors")
+  /** Dead letters are keyed by batchId: a foreachBatch RETRY of batch N
+    * overwrites `_errors/_batchId=N` instead of appending a second copy, so
+    * the side output is exactly-once like the main commit (a crash between
+    * this write and the snapshot commit re-runs the batch and re-writes the
+    * same dir). Ad-hoc batches (batchId < 0) append under `_batchId=-1` —
+    * at-least-once, documented. */
+  private def appendDeadLetters(table: LakeTable, dl: DataFrame, batchId: Long): Unit = {
+    val out = dl.withColumn("_error", Validate.errorExpr)
+    if (batchId >= 0)
+      out.write.mode(SaveMode.Overwrite).parquet(s"${table.dir}/_errors/_batchId=$batchId")
+    else
+      out.write.mode(SaveMode.Append).parquet(s"${table.dir}/_errors/_batchId=-1")
+  }
 
   private def appendDeadLetterNote(table: LakeTable, msg: String): Unit = {
     val dir = java.nio.file.Paths.get(s"${table.dir}/_errors_notes")
@@ -259,9 +283,12 @@ object Ingest {
   }
 
   /** Lineage is tiny per-batch metadata (one summary line + one line per log
-    * partition) — appended driver-side as JSONL, not via a Spark job: a
+    * partition) — written driver-side as JSONL, not via a Spark job: a
     * 1-row parquet write costs a full job (~0.5s of the per-batch serial
-    * budget), a file append costs microseconds. Read back with spark.read.json.
+    * budget), a file write costs microseconds. Keyed by batchId (one file per
+    * batch, truncate-on-retry) so a foreachBatch retry never duplicates
+    * lineage lines; ad-hoc batches (batchId < 0) append to a shared file.
+    * Read back with spark.read.json over the directory.
     */
   private def appendLineage(
       table: LakeTable, bm: BatchMetrics, fenceDelta: Map[Int, Long],
@@ -280,9 +307,15 @@ object Ingest {
       }
     val dir = java.nio.file.Paths.get(s"${table.dir}/_lineage")
     java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.writeString(dir.resolve("lineage.jsonl"),
-      lines.mkString("", "\n", "\n"),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    if (bm.batchId >= 0)
+      java.nio.file.Files.writeString(dir.resolve(s"batch-${bm.batchId}.jsonl"),
+        lines.mkString("", "\n", "\n"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    else
+      java.nio.file.Files.writeString(dir.resolve("adhoc.jsonl"),
+        lines.mkString("", "\n", "\n"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
 
   /** Read the lineage/metrics table (run-report analog,

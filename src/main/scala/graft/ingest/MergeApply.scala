@@ -1,8 +1,8 @@
 package graft.ingest
 
-import graft.lake.{BucketFile, LakeTable, TableSchema}
+import graft.lake.{DataFile, LakeTable, Snapshot, TableSchema}
 import graft.model.Ops
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Set-oriented MERGE INTO over the LakeTable — the engine's replacement for
@@ -23,17 +23,40 @@ import org.apache.spark.sql.functions._
   * "UPDATE SET only changed fields" semantics
   * (/root/reference/event/sql_maker.go:161-177).
   *
-  * Copy-on-write at bucket granularity: only buckets containing delta keys
-  * are read and rewritten; the snapshot commit swaps them atomically.
+  * Copy-on-write at FILE granularity: manifest key-range stats (min/max of
+  * `_hkey = xxhash64(repo, path)` per file) select exactly the files that can
+  * contain a delta key; only those are read and rewritten, everything else
+  * survives the commit untouched. Output files are written sorted by
+  * (_bucket, _hkey) and split at `targetFileRows`, so each covers a narrow
+  * key slice and future merges prune well.
   *
-  * Job economy: exactly TWO jobs per merge —
-  *   1. affected-bucket discovery (Catalyst prunes the dedup's max_by away,
-  *      leaving distinct-over-scan on the key columns only), and
-  *   2. the merge join + bucket write, with lineage metrics collected
-  *      IN-FLIGHT via `Dataset.observe` (no separate metrics pass).
-  * The delta is deliberately NOT cached: rebuilding it once costs far less
-  * than an in-memory columnar cache build (which also anti-scales with cores
-  * — measured 27s@8c vs 70s@32c for a 512k-row delta vs ~4s to recompute).
+  * Three physical strategies, chosen per batch from the selection stats:
+  *
+  *  1. '''insert-only''' — no existing file overlaps any delta key (fresh
+  *     table / disjoint key range): NO join at all; the delta is projected
+  *     and written.
+  *  2. '''broadcast-incremental''' — small delta against a large base (the
+  *     steady-state CDC shape): base LEFT JOIN broadcast(delta) resolves
+  *     matched rows with ZERO shuffle of the base (broadcast-hash-join
+  *     preserves the scan's partitioning), and the insert residue comes from
+  *     a keys-only anti join (the base side shuffles 2 slim string columns,
+  *     never content). This is what makes a 1-key batch cost O(1 file), not
+  *     O(table).
+  *  3. '''bucket-aligned shuffle''' — large delta (initial load, bulk
+  *     replay): BOTH sides are repartitioned by the storage bucket function
+  *     and joined full-outer on (bucket[, salt], repo, path); since
+  *     HashPartitioning(bucket) satisfies the join's clustering requirement,
+  *     the join itself inserts NO further exchange, and the output is already
+  *     laid out for the bucket-partitioned write — one shuffle per side
+  *     total (the previous design paid an extra full shuffle of the merged
+  *     result).
+  *
+  * Lineage metrics ride the write via `Dataset.observe` (no separate pass).
+  * The delta is deliberately NOT cached on the shuffle path: rebuilding it
+  * once costs far less than an in-memory columnar cache build (which also
+  * anti-scales with cores — measured 27s@8c vs 70s@32c for a 512k-row delta
+  * vs ~4s to recompute). On the broadcast path the (small) delta IS persisted
+  * for its two uses and unpersisted before return.
   */
 object MergeApply {
 
@@ -50,13 +73,88 @@ object MergeApply {
       tombstonesWritten: Long,
       conflictsLww: Long,
       duplicatesIgnored: Long,
-      affectedBuckets: Int)
+      affectedBuckets: Int,
+      filesRewritten: Int,
+      filesAdded: Int)
+
+  /** Which manifest files a delta can touch, plus sizing stats for the
+    * strategy choice. Produced by [[selectFiles]] or piggybacked on the
+    * caller's stats pass (Ingest). */
+  final case class FileSelection(files: Seq[DataFile], buckets: Set[Int], deltaRowsHint: Long)
+
+  /** Max delta rows for the broadcast-incremental path. ~100k rows of
+    * (key + 160B content) ≈ 25 MB broadcast — comfortably inside executor
+    * memory at 1000 executors; beyond that the bucket-aligned shuffle is the
+    * better plan anyway (delta ≈ base). */
+  val BroadcastDeltaMaxRows = 100000L
+
+  /** Per-row file-hit expression: array of manifest-file indices whose
+    * (bucket, key-range) can contain this row's key. The manifest rides the
+    * plan as a literal map — fine to ~10^4 files; at larger manifests this
+    * becomes a broadcast-joined lookup table instead (same shape, one more
+    * tiny join). */
+  def fileHitExpr(snap: Snapshot, bucket: Column, hkey: Column): Column = {
+    val ranges: Map[Int, Seq[(Long, Long, Int)]] =
+      snap.files.zipWithIndex.groupBy(_._1.bucket).map { case (b, fs) =>
+        b -> fs.map { case (f, i) => (f.minKey, f.maxKey, i) }
+      }
+    val arr = try_element_at(typedlit(ranges), bucket)
+    when(arr.isNull, typedlit(Seq.empty[Int]))
+      .otherwise(transform(
+        filter(arr, r => hkey >= r.getField("_1") && hkey <= r.getField("_2")),
+        r => r.getField("_3")))
+  }
+
+  /** Bind after-image field names to current schema columns: by name first,
+    * else by stable column id through the schema log (rename-safe). Returns
+    * (currentColumnName -> imageFieldName, unresolvable image fields). */
+  private[ingest] def bindImageFields(
+      snap: Snapshot, imageFields: Set[String]): (Map[String, String], Set[String]) = {
+    val cur = snap.schema
+    val byName: Map[String, String] =
+      imageFields.flatMap(f => cur.find(f).map(_.name -> f)).toMap
+    val byId: Map[String, String] = imageFields
+      .filterNot(byName.valuesIterator.contains)
+      .flatMap { f =>
+        snap.schemas.sortBy(-_.schemaId).iterator
+          .flatMap(_.find(f)).map(_.id).nextOption()
+          .flatMap(cur.findById)
+          .filterNot(c => byName.contains(c.name)) // exact name match wins
+          .map(_.name -> f)
+      }.toMap
+    val resolved = byName ++ byId
+    (resolved, imageFields -- resolved.values)
+  }
+
+  /** Fallback selection pass (one small job over the delta keys) for callers
+    * that did not piggyback selection on their own stats job. */
+  def selectFiles(table: LakeTable, delta: DataFrame): FileSelection = {
+    val snap = table.snapshot
+    val bucketCol = table.bucketExpr(col("repo"), col("path"))
+    if (snap.files.isEmpty) {
+      val rows = delta.groupBy(bucketCol.as("_b")).agg(count(lit(1)).as("n")).collect()
+      FileSelection(Seq.empty, rows.map(_.getInt(0)).toSet, rows.map(_.getLong(1)).sum)
+    } else {
+      val hkeyCol = table.hkeyExpr(col("repo"), col("path"))
+      val rows = delta
+        .select(bucketCol.as("_b"), fileHitExpr(snap, bucketCol, hkeyCol).as("_hits"))
+        .groupBy(col("_b"))
+        .agg(count(lit(1)).as("n"), collect_set(col("_hits")).as("hs"))
+        .collect()
+      val idxs = rows.flatMap(_.getSeq[scala.collection.Seq[Int]](2).flatten).distinct.sorted
+      FileSelection(idxs.map(snap.files), rows.map(_.getInt(0)).toSet,
+        rows.map(_.getLong(1)).sum)
+    }
+  }
 
   /** @param delta  one row per key: (repo, path, op, seq, after:struct)
     * @param fenceDelta per-log-partition max offsets covered by this delta's
     *                   source batch — committed atomically with the data
-    * @param salt   >1 spreads each rewritten bucket's write work across
-    *               `salt` tasks (hot-bucket write skew)
+    * @param salt   >1 spreads each rewritten bucket's shuffle/write work
+    *               across `salt` tasks (hot-bucket skew); the salt column is
+    *               a pure function of `path`, so it is safe as an extra join
+    *               key
+    * @param selection precomputed file selection (else one extra small job)
     */
   def merge(
       table: LakeTable,
@@ -65,120 +163,238 @@ object MergeApply {
       batchId: Long = -1L,
       salt: Int = 1,
       extraMetrics: Map[String, Long] = Map.empty,
-      affectedHint: Option[Set[Int]] = None): MergeResult = {
+      selection: Option[FileSelection] = None): MergeResult = {
     val spark = table.spark
     val snap = table.snapshot
-    val sch = snap.schema
+    val sel = selection.getOrElse(timed("select-files")(selectFiles(table, delta)))
 
-    // Which buckets does this delta touch? Usually pre-computed by the
-    // caller's stats pass (collect_set piggybacked on the same scan); the
-    // fallback is a distinct over the delta keys (column pruning strips the
-    // dedup's max_by, leaving distinct-over-scan). An over-inclusive set is
-    // sound: an untouched bucket is rewritten to identical contents.
-    val affected: Set[Int] = affectedHint.getOrElse(timed("affected-buckets")(
-      delta.select(table.bucketExpr(col("repo"), col("path")).as("_bucket"))
-        .distinct().collect().map(_.getInt(0)).toSet))
-
-    if (affected.isEmpty) {
+    if (sel.buckets.isEmpty && sel.deltaRowsHint == 0L) {
       // Nothing to apply — still advance the fence/lineage atomically.
       table.commit(Set.empty, Seq.empty, fenceDelta,
         extraMetrics + ("batches" -> 1L), batchId)
-      return MergeResult(0, 0, 0, 0, 0, 0)
+      return MergeResult(0, 0, 0, 0, 0, 0, 0, 0)
     }
 
-    val base = table.readInternal(snap, affected)
-
-    val afterFields: Set[String] = delta.schema("after").dataType match {
+    val sch = snap.schema
+    val imageFieldNames: Set[String] = delta.schema("after").dataType match {
       case s: org.apache.spark.sql.types.StructType => s.fieldNames.toSet
       case _ => Set.empty
     }
-    val b = base.alias("b")
-    val d = delta.alias("d")
-    val joined = b.join(d,
-      col("b.repo") === col("d.repo") && col("b.path") === col("d.path"), "full_outer")
-
-    val baseSeq = col(s"b.${LakeTable.SeqCol}")
-    val dWins = col("d.seq").isNotNull && (baseSeq.isNull || col("d.seq") > baseSeq)
-    val dStale = col("d.seq").isNotNull && baseSeq.isNotNull && col("d.seq") < baseSeq
-    val dDup = col("d.seq").isNotNull && baseSeq.isNotNull && col("d.seq") === baseSeq
-    val isDel = col("d.op") === Ops.Delete
-
-    // no-op update detection — the reference's DiffData strips unchanged
-    // fields and skips empty updates (/root/reference/config/aggregation.go:
-    // 164-207); set-orientedly that's a null-safe compare of the after-image
-    // against the current row, surfaced as a metric
-    val imageUnchanged = afterFields
-      .map(f => col(s"d.after.$f") <=> col(s"b.$f"))
-      .reduceOption(_ && _).getOrElse(lit(false))
-
-    // lineage metrics ride along with the write (no extra pass)
-    val obs = Observation(s"merge-${java.util.UUID.randomUUID()}")
-    val observed = joined.observe(obs,
-      sum(when(dWins, 1L).otherwise(0L)).as("applied"),
-      sum(when(dWins && isDel, 1L).otherwise(0L)).as("tombstones"),
-      sum(when(dWins && !isDel, 1L).otherwise(0L)).as("upserts"),
-      sum(when(dStale, 1L).otherwise(0L)).as("conflicts"),
-      sum(when(dDup, 1L).otherwise(0L)).as("duplicates"),
-      sum(when(dWins && !isDel && col(s"b.${LakeTable.SeqCol}").isNotNull &&
-        imageUnchanged, 1L).otherwise(0L)).as("noopUpdates"))
-
-    val outCols = sch.columns.map { c =>
-      val tp = TableSchema.toSpark(c.dataType)
-      if (c.name == "repo" || c.name == "path")
-        coalesce(col(s"d.${c.name}"), col(s"b.${c.name}")).as(c.name)
-      else if (afterFields.contains(c.name))
-        when(dWins && !isDel, col(s"d.after.${c.name}").cast(tp))
-          .when(dWins && isDel, lit(null).cast(tp))
-          .otherwise(col(s"b.${c.name}")).as(c.name)
-      else // schema column not carried by the image: preserve current value
-        when(dWins && isDel, lit(null).cast(tp))
-          .otherwise(col(s"b.${c.name}")).as(c.name)
-    } ++ Seq(
-      when(dWins, col("d.seq")).otherwise(baseSeq).as(LakeTable.SeqCol),
-      when(dWins, isDel).otherwise(col(s"b.${LakeTable.DeletedCol}")).as(LakeTable.DeletedCol))
-
-    val merged = observed.select(outCols: _*)
-      .withColumn("_bucket", table.bucketExpr(col("repo"), col("path")))
-
-    // Route each rewritten bucket to (ideally) one task; salt spreads a hot
-    // bucket's write across `salt` tasks (files per bucket dir stay correct —
-    // the dir is the commit unit).
+    // Rename-safe image binding: an after-image written before a
+    // rename_column DDL carries the OLD field name; resolve it to the current
+    // column through the schema log's stable column ids instead of silently
+    // dropping the value. Truly unresolvable fields are surfaced as a metric
+    // (never lost silently — the reference forwards raw DDL and has no such
+    // protection, /root/reference/event/sql_maker.go:72-78).
+    val (imageBinding, unresolvedImageFields) = bindImageFields(snap, imageFieldNames)
+    /** image field feeding schema column `c`, if any. */
+    def imageField(c: String): Option[String] = imageBinding.get(c)
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val writeParts = math.max(1, math.min(affected.size * math.max(salt, 1), shufflePartitions))
-    val routed =
-      if (salt > 1)
-        merged.repartition(writeParts, col("_bucket"), pmod(hash(col("path")), lit(salt)))
-      else
-        merged.repartition(writeParts, col("_bucket"))
+    val saltN = math.max(salt, 1)
+
+    val useBroadcast = sel.files.nonEmpty &&
+      sel.deltaRowsHint >= 0 && sel.deltaRowsHint <= BroadcastDeltaMaxRows &&
+      sel.files.iterator.map(_.rows).sum > 2 * sel.deltaRowsHint
 
     val commitDir = table.newCommitDataDir()
-    // zstd halves the bytes hitting disk vs snappy for this content at a CPU
-    // cost that scales with executors — the right trade for a write-heavy COW
-    timed("join+write")(
-      routed.write.mode("overwrite").option("compression", "zstd")
-        .partitionBy("_bucket").parquet(commitDir))
+    val writeOpts = Map("compression" -> "zstd",
+      "maxRecordsPerFile" -> snap.targetFileRows.toString)
 
-    // `get` blocks until the (already finished) write's listener delivers
-    val mm: Map[String, Any] = obs.get
-    def m(name: String): Long = mm.get(name) match {
-      case Some(v: Long) => v
-      case Some(v: java.lang.Long) => v.longValue()
-      case _ => 0L
+    def withLayout(df: DataFrame): DataFrame = df
+      .withColumn("_bucket", table.bucketExpr(col("repo"), col("path")))
+      .withColumn(LakeTable.HkeyCol, table.hkeyExpr(col("repo"), col("path")))
+
+    // --- per-branch projections -------------------------------------------
+    def isDelOf(dop: Column): Column = dop === Ops.Delete
+
+    // Lineage metrics ride as PER-ROW FLAG COLUMNS through every branch and
+    // are summed by ONE Observation directly above the final (never-empty)
+    // output. A per-branch Observation deadlocks under AQE: a branch that
+    // turns out empty at runtime (e.g. the insert residue when every delta
+    // key matched) is replaced by an empty relation INCLUDING its
+    // CollectMetrics node, and Observation.get then blocks forever.
+    val flagCols = Seq("_fApplied", "_fTombstone", "_fUpsert",
+      "_fConflict", "_fDuplicate", "_fNoop")
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+
+    /** delta row becomes a fresh row (insert or absorbing tombstone). */
+    def insertProjection(d: DataFrame): DataFrame = {
+      val isDel = isDelOf(col("op"))
+      val cols = sch.columns.map { c =>
+        val tp = TableSchema.toSpark(c.dataType)
+        if (c.name == "repo" || c.name == "path") col(c.name)
+        else imageField(c.name) match {
+          case Some(f) =>
+            when(!isDel, col(s"after.$f").cast(tp)).otherwise(lit(null).cast(tp)).as(c.name)
+          case None => lit(null).cast(tp).as(c.name)
+        }
+      } ++ Seq(col("seq").as(LakeTable.SeqCol), isDel.as(LakeTable.DeletedCol),
+        lit(1L).as("_fApplied"), flag(isDel).as("_fTombstone"),
+        flag(!isDel).as("_fUpsert"), lit(0L).as("_fConflict"),
+        lit(0L).as("_fDuplicate"), lit(0L).as("_fNoop"))
+      d.select(cols: _*)
     }
-    val (applied, tombstones, upserts, conflicts, duplicates) =
-      (m("applied"), m("tombstones"), m("upserts"), m("conflicts"), m("duplicates"))
 
-    val newBuckets: Seq[BucketFile] =
-      timed("footer-list")(table.listWrittenBuckets(commitDir, sch.schemaId))
+    /** matched-side resolution: base vs delta under LWW, with metric flags. */
+    def resolveMatched(joined: DataFrame): DataFrame = {
+      val baseSeq = col(s"b.${LakeTable.SeqCol}")
+      val dWins = col("d.seq").isNotNull && (baseSeq.isNull || col("d.seq") > baseSeq)
+      val dStale = col("d.seq").isNotNull && baseSeq.isNotNull && col("d.seq") < baseSeq
+      val dDup = col("d.seq").isNotNull && baseSeq.isNotNull && col("d.seq") === baseSeq
+      val isDel = isDelOf(col("d.op"))
+      // no-op update detection — the reference's DiffData strips unchanged
+      // fields and skips empty updates (/root/reference/config/aggregation.go:
+      // 164-207); set-orientedly that's a null-safe compare of the after-image
+      // against the current row, surfaced as a metric
+      val imageUnchanged = imageBinding
+        .map { case (c, f) => col(s"d.after.$f") <=> col(s"b.$c") }
+        .reduceOption(_ && _).getOrElse(lit(false))
+      val outCols = sch.columns.map { c =>
+        val tp = TableSchema.toSpark(c.dataType)
+        if (c.name == "repo" || c.name == "path")
+          coalesce(col(s"d.${c.name}"), col(s"b.${c.name}")).as(c.name)
+        else imageField(c.name) match {
+          case Some(f) =>
+            when(dWins && !isDel, col(s"d.after.$f").cast(tp))
+              .when(dWins && isDel, lit(null).cast(tp))
+              .otherwise(col(s"b.${c.name}")).as(c.name)
+          case None => // schema column not carried by the image: preserve current value
+            when(dWins && isDel, lit(null).cast(tp))
+              .otherwise(col(s"b.${c.name}")).as(c.name)
+        }
+      } ++ Seq(
+        when(dWins, col("d.seq")).otherwise(baseSeq).as(LakeTable.SeqCol),
+        when(dWins, isDel).otherwise(col(s"b.${LakeTable.DeletedCol}")).as(LakeTable.DeletedCol),
+        flag(dWins).as("_fApplied"),
+        flag(dWins && isDel).as("_fTombstone"),
+        flag(dWins && !isDel).as("_fUpsert"),
+        flag(dStale).as("_fConflict"),
+        flag(dDup).as("_fDuplicate"),
+        flag(dWins && !isDel && baseSeq.isNotNull && imageUnchanged).as("_fNoop"))
+      joined.select(outCols: _*)
+    }
+
+    /** sum the flags via one CollectMetrics node above the final output,
+      * drop the flags, write. The observed node feeds the writer directly,
+      * so it can never be pruned while there is anything to write. */
+    def observeAndWrite(df: DataFrame): Observation = {
+      val obs = Observation(s"merge-${java.util.UUID.randomUUID()}")
+      val observed = df.observe(obs,
+        sum(col("_fApplied")).as("applied"),
+        sum(col("_fTombstone")).as("tombstones"),
+        sum(col("_fUpsert")).as("upserts"),
+        sum(col("_fConflict")).as("conflicts"),
+        sum(col("_fDuplicate")).as("duplicates"),
+        sum(col("_fNoop")).as("noopUpdates"))
+      write(observed.drop(flagCols: _*)
+        .sortWithinPartitions(col("_bucket"), col(LakeTable.HkeyCol)))
+      obs
+    }
+
+    def write(df: DataFrame): Unit = timed("merge-write") {
+      if (sys.env.contains("GRAFT_EXPLAIN")) df.explain("formatted")
+      var w = df.write.mode("overwrite")
+      writeOpts.foreach { case (k, v) => w = w.option(k, v) }
+      w.partitionBy("_bucket").parquet(commitDir)
+    }
+
+    /** read one observed metric; a hard timeout turns a lost-metrics planner
+      * pathology into a loud error instead of a hung stream. */
+    def metric(obs: Observation, name: String): Long = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val mm = Await.result(Future(obs.get), 120.seconds)
+      mm.get(name) match {
+        case Some(v: Long) => v
+        case Some(v: java.lang.Long) => v.longValue()
+        case _ => 0L
+      }
+    }
+
+    val obs: Observation = if (sel.files.isEmpty) {
+      // ---- strategy 1: insert-only (no join) ----
+      val rows = withLayout(insertProjection(delta))
+      val p = math.max(1, math.min(sel.buckets.size * saltN, shufflePartitions))
+      val routed =
+        if (saltN > 1)
+          rows.repartition(p, col("_bucket"), pmod(hash(col("path")), lit(saltN)))
+        else rows.repartition(p, col("_bucket"))
+      observeAndWrite(routed)
+    } else if (useBroadcast) {
+      // ---- strategy 2: broadcast-incremental (base never shuffles) ----
+      val d0 = delta.persist() // two consumers (matched join + anti join)
+      try {
+        val b = table.readInternal(snap, sel.files).alias("b")
+        val d = d0.alias("d")
+        val matched = resolveMatched(
+          b.join(broadcast(d),
+            col("b.repo") === col("d.repo") && col("b.path") === col("d.path"),
+            "left_outer"))
+        // keys-only residue: which delta rows hit NO base row (column pruning
+        // reads just the two key columns of the selected files)
+        val baseKeys = table.readInternal(snap, sel.files).select(col("repo"), col("path"))
+        val inserts = insertProjection(d0.join(baseKeys, Seq("repo", "path"), "left_anti"))
+        val pIns = math.max(1, math.min(sel.buckets.size, shufflePartitions))
+        observeAndWrite(withLayout(matched)
+          .unionByName(withLayout(inserts).repartition(pIns, col("_bucket"))))
+      } finally d0.unpersist(blocking = false)
+    } else {
+      // ---- strategy 3: bucket-aligned full-outer shuffle merge ----
+      val p = math.max(1, math.min(sel.buckets.size * saltN, shufflePartitions))
+      // a constant salt column would be constant-folded out of the join keys
+      // and break co-partitioning detection — only add it when salting
+      def prep(df: DataFrame, name: String): DataFrame = {
+        val withKeys = df.withColumn("_jb", table.bucketExpr(col("repo"), col("path")))
+        val salted =
+          if (saltN > 1) withKeys.withColumn("_js", pmod(hash(col("path")), lit(saltN)))
+          else withKeys
+        val parts = (Seq(col("_jb")) ++ (if (saltN > 1) Seq(col("_js")) else Nil))
+        salted.repartition(p, parts: _*).alias(name)
+      }
+      val b = prep(table.readInternal(snap, sel.files), "b")
+      val d = prep(delta, "d")
+      // HashPartitioning(_jb[, _js]) on both sides satisfies the join's
+      // clustering requirement (subset of the join keys), so no further
+      // exchange is planned for the join OR the bucket-partitioned write.
+      val saltCond =
+        if (saltN > 1) col("b._js") === col("d._js") else lit(true)
+      val joined = b.join(d,
+        col("b._jb") === col("d._jb") && saltCond &&
+          col("b.repo") === col("d.repo") && col("b.path") === col("d.path"),
+        "full_outer")
+      // Subset co-partitioning: HashPartitioning(_jb) must be accepted as
+      // satisfying the join over (_jb, repo, path) — with the default
+      // requireAllClusterKeysForCoPartition=true Spark would re-shuffle both
+      // sides on ALL join keys, destroying the bucket-aligned write layout.
+      // Scoped set-and-restore: planning happens inside the write action.
+      val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
+      val prev = spark.conf.getOption(coPartKey)
+      spark.conf.set(coPartKey, "false")
+      try observeAndWrite(withLayout(resolveMatched(joined)))
+      finally prev match {
+        case Some(v) => spark.conf.set(coPartKey, v)
+        case None => spark.conf.unset(coPartKey)
+      }
+    }
+    val applied = metric(obs, "applied"); val tombstones = metric(obs, "tombstones")
+    val upserts = metric(obs, "upserts"); val conflicts = metric(obs, "conflicts")
+    val duplicates = metric(obs, "duplicates"); val noops = metric(obs, "noopUpdates")
+
+    val newFiles: Seq[DataFile] =
+      timed("footer-list")(table.listWrittenFiles(commitDir, sch.schemaId))
     val metricsDelta = Map(
       "eventsApplied" -> applied,
       "upserts" -> upserts,
       "tombstonesWritten" -> tombstones,
       "conflictsLww" -> conflicts,
       "duplicatesIgnored" -> duplicates,
-      "noopUpdates" -> m("noopUpdates"),
+      "noopUpdates" -> noops,
+      "filesRewritten" -> sel.files.size.toLong,
+      "unresolvedImageFields" -> unresolvedImageFields.size.toLong,
       "batches" -> 1L) ++ extraMetrics
-    table.commit(affected, newBuckets, fenceDelta, metricsDelta, batchId)
-    MergeResult(applied, upserts, tombstones, conflicts, duplicates, affected.size)
+    table.commit(sel.files.map(_.path).toSet, newFiles, fenceDelta, metricsDelta, batchId)
+    MergeResult(applied, upserts, tombstones, conflicts, duplicates,
+      sel.buckets.size, sel.files.size, newFiles.size)
   }
 }

@@ -3,36 +3,43 @@ package graft.lake
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
 /** From-scratch snapshot-isolated table format ("LakeTable") providing the
   * Iceberg semantics the north rule requires — no Iceberg/Delta runtime is
   * available offline (SURVEY §7.1), so snapshot log, atomic commit, offset
-  * fencing, schema evolution and time travel are implemented here over plain
-  * Parquet.
+  * fencing, schema evolution, file-level manifests with key-range statistics,
+  * and time travel are implemented here over plain Parquet.
   *
   * Layout:
   * {{{
-  *   <dir>/snapshots/v000000000001.json   // snapshot log (atomic rename commit)
+  *   <dir>/snapshots/v000000000001.json           // snapshot log (hard-link CAS commit)
   *   <dir>/data/c<version>-<uuid>/_bucket=N/part-*.parquet
   * }}}
   *
   * Data is hash-bucketed on the logical key (repo, path):
-  * bucket = pmod(hash(repo, path), numBuckets). The bucket is simultaneously
-  *  - the pruning unit (a delta's affected buckets are computable from its
-  *    keys alone — no file-stat reads),
-  *  - the copy-on-write rewrite unit, and
-  *  - the shuffle alignment for the merge join (both sides repartitioned by
+  * bucket = pmod(hash(repo, path), numBuckets). The bucket is
+  *  - the shuffle-alignment unit for the merge join (both sides partitioned by
   *    the same function ⇒ co-located, skew-free since hot repos spread over
-  *    all buckets via the path component of the hash).
+  *    all buckets via the path component of the hash), and
+  *  - the write-layout unit (`partitionBy("_bucket")`).
   *
-  * Every data file carries two internal columns beyond the user schema:
-  * `_seq` (log sequence number of the last writer — LWW conflict resolution)
-  * and `_deleted` (tombstone flag; tombstones keep `_seq` so that a stale,
+  * WITHIN a bucket, data is tracked per FILE with min/max statistics over
+  * `_hkey = xxhash64(repo, path)` (an Iceberg-manifest analog, read straight
+  * from the Parquet footers). Files are written sorted by `_hkey` and split
+  * at `targetFileRows`, so each covers a narrow, disjoint key slice — the
+  * copy-on-write unit shrinks from a whole bucket to the files actually
+  * containing delta keys. A manifest never requires listing directories: all
+  * reads plan from the snapshot JSON alone.
+  *
+  * Every data file carries three internal columns beyond the user schema:
+  * `_seq` (log sequence number of the last writer — LWW conflict resolution),
+  * `_deleted` (tombstone flag; tombstones keep `_seq` so that a stale,
   * replayed update can never resurrect a deleted row — convergence is then
   * order-independent, fixing the reference's worker-pool reordering hazard,
-  * SURVEY §4.3.2).
+  * SURVEY §4.3.2), and `_hkey` (the sort/stats key above; never read back,
+  * only its footer statistics are).
   */
 class LakeTable private (val spark: SparkSession, val dir: String, @volatile private var snap: Snapshot) {
 
@@ -55,25 +62,34 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
   def bucketExpr(repo: Column, path: Column): Column =
     pmod(hash(repo, path), lit(snap.numBuckets))
 
+  /** file-pruning / sort key — independent of the bucket hash (xxhash64 vs
+    * Murmur3), so within a bucket the key space is uniformly covered. */
+  def hkeyExpr(repo: Column, path: Column): Column = xxhash64(repo, path)
+
+  /** Resolve a manifest-relative file path against the table root (absolute
+    * paths from pre-relative metadata still resolve as themselves). */
+  def resolve(path: String): String =
+    if (path.startsWith("/")) path else s"$dir/$path"
+
   /** Public read: current rows under the current schema (tombstones and
     * internal columns hidden). */
   def read(): DataFrame = read(snap)
 
   def read(s: Snapshot): DataFrame =
-    readInternal(s, s.buckets.keySet)
+    readInternal(s, s.files)
       .filter(!col("_deleted"))
       .select(s.schema.columns.map(c => col(c.name)): _*)
 
-  /** Internal read of selected buckets: current-schema columns + _seq +
+  def readAllInternal(): DataFrame = readInternal(snap, snap.files)
+
+  /** Internal read of selected manifest files: current-schema columns + _seq +
     * _deleted, tombstones included. Old-schema files are mapped to the
     * current schema BY COLUMN ID (rename-safe) with Catalyst-safe casts
     * (widen-safe); columns missing from a file read as null. */
-  def readInternal(s: Snapshot, buckets: Set[Int]): DataFrame = {
+  def readInternal(s: Snapshot, files: Seq[DataFile]): DataFrame = {
     val cur = s.schema
-    val groups = s.buckets.valuesIterator
-      .filter(b => buckets.contains(b.bucket))
-      .toSeq.groupBy(_.schemaId)
-    val parts = groups.toSeq.sortBy(_._1).map { case (schemaId, files) =>
+    val groups = files.groupBy(_.schemaId)
+    val parts = groups.toSeq.sortBy(_._1).map { case (schemaId, fs) =>
       val fileSchema = s.schemaById(schemaId)
       val projection = cur.columns.map { c =>
         fileSchema.findById(c.id) match {
@@ -83,7 +99,7 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
       } ++ Seq(col("_seq"), col("_deleted"))
       spark.read
         .schema(StructType(fileSchema.sparkType.fields ++ LakeTable.internalFields))
-        .parquet(files.map(_.path): _*)
+        .parquet(fs.map(f => resolve(f.path)): _*)
         .select(projection: _*)
     }
     parts.reduceOption(_ unionByName _).getOrElse(emptyInternal(cur))
@@ -94,14 +110,15 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       StructType(cur.sparkType.fields ++ LakeTable.internalFields))
 
-  /** Atomically commit a new snapshot: replace `replacedBuckets` with
-    * `newBuckets`, merge the offset fence, add metric deltas, optionally move
-    * to an evolved schema. Optimistic concurrency: losing a version race
-    * throws CommitConflictException (caller may refresh + retry).
+  /** Atomically commit a new snapshot: drop the files at `replacedPaths`
+    * (manifest-relative), add `newFiles`, merge the offset fence, add metric
+    * deltas, optionally move to an evolved schema. Optimistic concurrency:
+    * losing a version race throws CommitConflictException (caller may
+    * refresh + retry).
     */
   def commit(
-      replacedBuckets: Set[Int],
-      newBuckets: Seq[BucketFile],
+      replacedPaths: Set[String],
+      newFiles: Seq[DataFile],
       fenceDelta: Map[Int, Long],
       metricsDelta: Map[String, Long],
       batchId: Long = -1L,
@@ -126,13 +143,14 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
       parentVersion = cur.version,
       schemaId = newSchema.map(_.schemaId).getOrElse(cur.schemaId),
       numBuckets = cur.numBuckets,
-      buckets = (cur.buckets -- replacedBuckets) ++ newBuckets.map(b => b.bucket -> b),
+      files = cur.files.filterNot(f => replacedPaths.contains(f.path)) ++ newFiles,
       fence = mergedFence,
       metrics = mergedMetrics,
       committedBatchId = math.max(batchId, cur.committedBatchId),
       schemas = schemas,
       tsMillis = System.currentTimeMillis(),
-      ddlSeq = math.max(ddlSeq, cur.ddlSeq))
+      ddlSeq = math.max(ddlSeq, cur.ddlSeq),
+      targetFileRows = cur.targetFileRows)
     LakeTable.writeSnapshotAtomic(dir, next)
     snap = next
     next
@@ -151,36 +169,51 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
     p.toString
   }
 
-  /** List the `_bucket=N` dirs written under a commit data dir and build
-    * BucketFile entries. Row counts come from parquet footers (driver-side
+  /** List the parquet files written under a commit data dir (`_bucket=N/`
+    * subdirs) and build manifest entries with per-file row counts and
+    * `_hkey` min/max stats straight from the Parquet footers (driver-side
     * metadata reads — no Spark job; at real cluster scale this would be a
-    * small parallel metadata task, as in Iceberg manifests). */
-  def listWrittenBuckets(commitDir: String, schemaId: Int): Seq[BucketFile] = {
+    * small parallel metadata task, as in Iceberg manifest writers). */
+  def listWrittenFiles(commitDir: String, schemaId: Int): Seq[DataFile] = {
+    val root = Paths.get(dir).toAbsolutePath.normalize
     val dirs = LakeTable.listDir(Paths.get(commitDir))
       .filter(p => p.getFileName.toString.startsWith("_bucket="))
     // footer reads are independent metadata fetches — do them concurrently
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = LakeTable.metaPool
-    val futures = dirs.map { p =>
-      Future {
-        val b = p.getFileName.toString.stripPrefix("_bucket=").toInt
-        val rows = LakeTable.listDir(p)
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(f => parquetRowCount(f))
-          .sum
-        BucketFile(b, p.toString, schemaId, rows)
-      }
+    val futures = for {
+      p <- dirs
+      b = p.getFileName.toString.stripPrefix("_bucket=").toInt
+      f <- LakeTable.listDir(p) if f.getFileName.toString.endsWith(".parquet")
+    } yield Future {
+      val (rows, minK, maxK) = footerStats(f)
+      val rel = root.relativize(f.toAbsolutePath.normalize).toString
+      DataFile(b, rel, schemaId, rows, minK, maxK)
     }
-    Await.result(Future.sequence(futures), Duration.Inf)
+    Await.result(Future.sequence(futures), Duration.Inf).filter(_.rows > 0)
   }
 
-  private def parquetRowCount(file: Path): Long = {
+  /** (rowCount, min(_hkey), max(_hkey)) from one parquet footer. Missing
+    * stats degrade to the full range — pruning stays sound (over-inclusive). */
+  private def footerStats(file: Path): (Long, Long, Long) = {
     val conf = spark.sessionState.newHadoopConf()
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file.toUri), conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try reader.getRecordCount finally reader.close()
+    try {
+      val rows = reader.getRecordCount
+      val blocks = reader.getFooter.getBlocks.asScala
+      val stats = blocks.flatMap(_.getColumns.asScala)
+        .filter(_.getPath.toDotString == LakeTable.HkeyCol)
+        .map(_.getStatistics)
+        .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+      if (stats.isEmpty) (rows, Long.MinValue, Long.MaxValue)
+      else (
+        rows,
+        stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue()).min,
+        stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue()).max)
+    } finally reader.close()
   }
 }
 
@@ -194,6 +227,9 @@ object LakeTable {
 
   val SeqCol = "_seq"
   val DeletedCol = "_deleted"
+  val HkeyCol = "_hkey"
+  /** internal columns present in the READ projection (files additionally
+    * store `_hkey`, consumed only via footer statistics). */
   val internalFields: Array[StructField] = Array(
     StructField(SeqCol, LongType, nullable = false),
     StructField(DeletedCol, BooleanType, nullable = false))
@@ -206,7 +242,13 @@ object LakeTable {
     val snapDir = snapshotsDir(dir)
     Files.createDirectories(snapDir)
     val tmp = snapDir.resolve(s"_tmp-${java.util.UUID.randomUUID()}.json")
-    Files.writeString(tmp, s.toJson)
+    // force the snapshot bytes to disk BEFORE publishing: a crash must never
+    // leave the newest version file empty/truncated
+    scala.util.Using.resource(java.nio.channels.FileChannel.open(
+      tmp, StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)) { ch =>
+      ch.write(java.nio.ByteBuffer.wrap(s.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      ch.force(true)
+    }
     // Atomic compare-and-set publish: a POSIX rename silently REPLACES an
     // existing target, so ATOMIC_MOVE cannot detect a version race. Hard-link
     // creation is atomic and fails with FileAlreadyExistsException if the
@@ -214,6 +256,7 @@ object LakeTable {
     try {
       Files.createLink(snapshotPath(dir, s.version), tmp)
       Files.deleteIfExists(tmp)
+      fsyncDir(snapDir) // make the dir entry itself durable
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
@@ -221,14 +264,29 @@ object LakeTable {
     }
   }
 
+  private def fsyncDir(p: Path): Unit =
+    try scala.util.Using.resource(
+      java.nio.channels.FileChannel.open(p, StandardOpenOption.READ))(_.force(true))
+    catch { case _: java.io.IOException => () } // non-POSIX FS: best effort
+
+  /** Newest PARSEABLE snapshot: a snapshot file truncated by an OS crash
+    * (pre-fsync era, or a torn copy) must not brick the table — skip it and
+    * fall back to the previous version. */
   private[lake] def latestSnapshot(dir: String): Option[Snapshot] = {
     val sd = snapshotsDir(dir)
     if (!Files.isDirectory(sd)) return None
-    val latest = listDir(sd)
+    val names = listDir(sd)
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .sorted.lastOption
-    latest.map(n => Snapshot.fromJson(Files.readString(sd.resolve(n))))
+      .sorted.reverseIterator
+    names.flatMap { n =>
+      try Some(Snapshot.fromJson(Files.readString(sd.resolve(n))))
+      catch {
+        case e: Exception =>
+          System.err.println(s"[lake] skipping unreadable snapshot $n: ${e.getMessage}")
+          None
+      }
+    }.nextOption()
   }
 
   /** Files.list with guaranteed stream close (each open stream holds a
@@ -237,12 +295,14 @@ object LakeTable {
     scala.util.Using.resource(Files.list(p))(_.iterator().asScala.toSeq)
 
   def create(spark: SparkSession, dir: String, numBuckets: Int = 64,
-      schema: TableSchema = TableSchema.base): LakeTable = {
+      schema: TableSchema = TableSchema.base,
+      targetFileRows: Long = 1L << 20): LakeTable = {
     val s0 = Snapshot(
       version = 0L, parentVersion = -1L, schemaId = schema.schemaId,
-      numBuckets = numBuckets, buckets = Map.empty, fence = Map.empty,
+      numBuckets = numBuckets, files = Seq.empty, fence = Map.empty,
       metrics = Map.empty, committedBatchId = -1L, schemas = Seq(schema),
-      tsMillis = System.currentTimeMillis(), ddlSeq = -1L)
+      tsMillis = System.currentTimeMillis(), ddlSeq = -1L,
+      targetFileRows = targetFileRows)
     writeSnapshotAtomic(dir, s0)
     new LakeTable(spark, dir, s0)
   }

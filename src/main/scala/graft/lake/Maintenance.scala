@@ -2,35 +2,38 @@ package graft.lake
 
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
 
 /** Table maintenance: bucket compaction (small-file merging + tombstone GC)
   * and snapshot expiry (metadata + unreferenced-data cleanup).
   *
-  * A copy-on-write table accretes files two ways: each commit rewrites its
-  * affected buckets into a new commit dir (old versions keep the old files —
-  * that's time travel), and a bucket written by K tasks holds K part files.
-  * Compaction rewrites chosen buckets to single-file dirs and may drop
-  * tombstones whose `_seq` is at or below a caller-supplied horizon (safe
-  * once no replay can deliver events older than the horizon — tombstones
-  * exist to absorb stale replays, see MergeApply).
+  * A copy-on-write table accretes files two ways: each commit adds new files
+  * for the keys it touched (old versions keep the old files — that's time
+  * travel), and an incremental workload leaves many small files per bucket.
+  * Compaction rewrites chosen buckets into `targetFileRows`-sized files
+  * sorted by `_hkey`, which simultaneously (a) merges small files, (b) may
+  * drop tombstones whose `_seq` is at or below a caller-supplied horizon
+  * (safe once no replay can deliver events older than the horizon —
+  * tombstones exist to absorb stale replays, see MergeApply), and (c)
+  * restores the narrow disjoint key ranges that make merge-time file pruning
+  * effective.
   */
 object Maintenance {
 
   final case class CompactionResult(bucketsCompacted: Int, tombstonesDropped: Long)
 
-  /** Rewrite buckets whose data dir holds more than `maxFilesPerBucket`
-    * parquet files (or all buckets, if `force`), dropping tombstones with
-    * `_seq` <= tombstoneHorizon. Commits one new snapshot. */
+  /** Rewrite buckets holding more than `maxFilesPerBucket` files (or all
+    * buckets, if `force`), dropping tombstones with `_seq` <=
+    * tombstoneHorizon. Commits one new snapshot. */
   def compact(
       table: LakeTable,
       maxFilesPerBucket: Int = 1,
       tombstoneHorizon: Option[Long] = None,
       force: Boolean = false): CompactionResult = {
     val snap = table.snapshot
-    val candidates: Set[Int] = snap.buckets.valuesIterator.filter { b =>
-      force || fileCount(Paths.get(b.path)) > maxFilesPerBucket
-    }.map(_.bucket).toSet
+    val byBucket = snap.files.groupBy(_.bucket)
+    val candidates: Seq[DataFile] = byBucket.valuesIterator
+      .filter(fs => force || fs.size > maxFilesPerBucket)
+      .flatten.toSeq
     if (candidates.isEmpty) return CompactionResult(0, 0L)
 
     val base = table.readInternal(snap, candidates)
@@ -39,32 +42,42 @@ object Maintenance {
       s"compact-${java.util.UUID.randomUUID()}")
     val isExpired = tombstoneHorizon match {
       case Some(h) => col(LakeTable.DeletedCol) && col(LakeTable.SeqCol) <= h
-      case None => org.apache.spark.sql.functions.lit(false)
+      case None => lit(false)
     }
+    val buckets = candidates.map(_.bucket).distinct
     val kept = base
       .observe(obs, sum(when(isExpired, 1L).otherwise(0L)).as("dropped"))
       .filter(!isExpired)
     val routed = kept
       .withColumn("_bucket", table.bucketExpr(col("repo"), col("path")))
-      .repartition(math.max(1, math.min(candidates.size,
+      .withColumn(LakeTable.HkeyCol, table.hkeyExpr(col("repo"), col("path")))
+      .repartition(math.max(1, math.min(buckets.size,
         table.spark.conf.get("spark.sql.shuffle.partitions").toInt)), col("_bucket"))
+      .sortWithinPartitions(col("_bucket"), col(LakeTable.HkeyCol))
     val commitDir = table.newCommitDataDir()
-    routed.write.mode("overwrite").option("compression", "zstd")
+    routed.write.mode("overwrite")
+      .option("compression", "zstd")
+      .option("maxRecordsPerFile", snap.targetFileRows.toString)
       .partitionBy("_bucket").parquet(commitDir)
-    val newBuckets = table.listWrittenBuckets(commitDir, snap.schemaId)
+    val newFiles = table.listWrittenFiles(commitDir, snap.schemaId)
     val dropped = obs.get.get("dropped") match {
       case Some(v: java.lang.Long) => v.longValue()
       case Some(v: Long) => v
       case _ => 0L
     }
-    table.commit(candidates, newBuckets, Map.empty,
+    table.commit(candidates.map(_.path).toSet, newFiles, Map.empty,
       Map("compactions" -> 1L, "tombstonesExpired" -> dropped))
-    CompactionResult(candidates.size, dropped)
+    CompactionResult(buckets.size, dropped)
   }
 
   /** Drop snapshot metadata older than the last `keep` versions and delete
     * data commit-dirs referenced by NO retained snapshot. Time travel remains
-    * possible across retained versions only. */
+    * possible across retained versions only.
+    *
+    * Liveness is decided by commit-dir BASENAME (manifest paths are relative
+    * to the table root), never by full path-string equality — a table reached
+    * via a different spelling (relative vs absolute, symlink, copy) must not
+    * GC its own live data. */
   def expireSnapshots(table: LakeTable, keep: Int = 2): Int = {
     require(keep >= 1)
     val dir = Paths.get(table.dir)
@@ -77,22 +90,22 @@ object Maintenance {
     val retained = versions.takeRight(keep)
     val expired = versions.dropRight(keep)
 
-    // data dirs referenced by any retained snapshot (commit-dir granularity)
-    val referenced: Set[Path] = retained.flatMap { v =>
-      table.snapshotAt(v).buckets.valuesIterator.map(b => Paths.get(b.path).getParent)
+    // commit-dir basenames referenced by any retained snapshot
+    val referenced: Set[String] = retained.flatMap { v =>
+      table.snapshotAt(v).files.iterator.map { f =>
+        // relative: data/<commitDir>/_bucket=N/part-*.parquet; absolute legacy
+        // paths reduce to the same basename via getParent.getParent
+        Paths.get(table.resolve(f.path)).getParent.getParent.getFileName.toString
+      }
     }.toSet
     val dataDir = dir.resolve("data")
     if (Files.isDirectory(dataDir)) {
       LakeTable.listDir(dataDir).foreach { commitDir =>
-        if (!referenced.contains(commitDir))
+        if (!referenced.contains(commitDir.getFileName.toString))
           org.apache.commons.io.FileUtils.deleteQuietly(commitDir.toFile)
       }
     }
     expired.foreach(v => Files.deleteIfExists(snapDir.resolve(f"v$v%012d.json")))
     expired.size
   }
-
-  private def fileCount(p: Path): Int =
-    if (!Files.isDirectory(p)) 0
-    else LakeTable.listDir(p).count(_.getFileName.toString.endsWith(".parquet"))
 }

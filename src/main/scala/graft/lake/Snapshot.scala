@@ -1,14 +1,29 @@
 package graft.lake
 
-/** One bucket's data at a given snapshot: a directory of Parquet files, all
-  * written under `schemaId`. The bucket (pmod(hash(repo, path), numBuckets))
-  * is the unit of copy-on-write rewrite and of merge-time pruning.
+/** One data file in the manifest: a Parquet file holding rows of exactly one
+  * bucket (bucket = pmod(hash(repo, path), numBuckets)), written under
+  * `schemaId`, with min/max statistics over the rows' 64-bit key hash
+  * `_hkey = xxhash64(repo, path)` taken from the Parquet footer.
+  *
+  * `path` is RELATIVE to the table root (so a table can be moved/symlinked
+  * without invalidating its metadata — path-string comparisons during
+  * maintenance stay sound).
+  *
+  * The (minKey, maxKey) range is the copy-on-write pruning unit: a merge
+  * rewrites only files whose key range contains a delta key. Files written
+  * sorted by `_hkey` and split at `targetFileRows` cover narrow, disjoint key
+  * ranges, so a point update rewrites ~one file instead of a whole bucket —
+  * the difference between O(batch) and O(table) write amplification at
+  * 10^10-event scale.
   */
-final case class BucketFile(bucket: Int, path: String, schemaId: Int, rows: Long)
+final case class DataFile(
+    bucket: Int, path: String, schemaId: Int, rows: Long,
+    minKey: Long, maxKey: Long)
 
-/** An immutable table snapshot. Commits are atomic (tmp file + ATOMIC_MOVE
-  * rename; a concurrent committer of the same version loses with
-  * FileAlreadyExistsException — optimistic concurrency).
+/** An immutable table snapshot. Commits are atomic: the snapshot JSON is
+  * written to a tmp file (fsynced), then published via hard-link
+  * creation-as-CAS — a concurrent committer of the same version loses with
+  * FileAlreadyExistsException (optimistic concurrency).
   *
   * `fence` is the exactly-once high-water mark: log partition → highest
   * offset applied into this snapshot. It is the engine's durable, transactional
@@ -26,7 +41,7 @@ final case class Snapshot(
     parentVersion: Long,
     schemaId: Int,
     numBuckets: Int,
-    buckets: Map[Int, BucketFile],
+    files: Seq[DataFile],
     fence: Map[Int, Long],
     metrics: Map[String, Long],
     committedBatchId: Long,
@@ -35,11 +50,16 @@ final case class Snapshot(
     /** high-water mark of applied DDL events' `seq` — schema evolution is
       * fenced exactly like data (a retried batch skips already-applied DDL,
       * which per-op checks cannot do for add→widen→rename chains). */
-    ddlSeq: Long = -1L) {
+    ddlSeq: Long = -1L,
+    /** writer splits output files at this many rows (sorted by `_hkey`), so
+      * each file covers a narrow key range — the knob that makes min/max
+      * pruning effective. */
+    targetFileRows: Long = 1L << 20) {
 
   def schema: TableSchema = schemas.find(_.schemaId == schemaId).get
   def schemaById(id: Int): TableSchema = schemas.find(_.schemaId == id).get
-  def totalRows: Long = buckets.valuesIterator.map(_.rows).sum
+  def totalRows: Long = files.iterator.map(_.rows).sum
+  def filesOf(buckets: Set[Int]): Seq[DataFile] = files.filter(f => buckets.contains(f.bucket))
 
   def toJson: String = Json.obj(
     "version" -> version.toString,
@@ -48,13 +68,16 @@ final case class Snapshot(
     "numBuckets" -> numBuckets.toString,
     "committedBatchId" -> committedBatchId.toString,
     "ddlSeq" -> ddlSeq.toString,
+    "targetFileRows" -> targetFileRows.toString,
     "tsMillis" -> tsMillis.toString,
-    "buckets" -> Json.arrOf(buckets.toSeq.sortBy(_._1).map { case (_, b) =>
+    "files" -> Json.arrOf(files.sortBy(f => (f.bucket, f.minKey, f.path)).map { f =>
       Json.obj(
-        "bucket" -> b.bucket.toString,
-        "path" -> Json.quote(b.path),
-        "schemaId" -> b.schemaId.toString,
-        "rows" -> b.rows.toString)
+        "bucket" -> f.bucket.toString,
+        "path" -> Json.quote(f.path),
+        "schemaId" -> f.schemaId.toString,
+        "rows" -> f.rows.toString,
+        "minKey" -> f.minKey.toString,
+        "maxKey" -> f.maxKey.toString)
     }),
     "fence" -> Json.obj(fence.toSeq.sortBy(_._1).map { case (p, o) => p.toString -> o.toString }: _*),
     "metrics" -> Json.obj(metrics.toSeq.sorted.map { case (k, v) => k -> v.toString }: _*),
@@ -69,15 +92,16 @@ object Snapshot {
       parentVersion = Json.long(n, "parentVersion"),
       schemaId = Json.int(n, "schemaId"),
       numBuckets = Json.int(n, "numBuckets"),
-      buckets = Json.arr(n, "buckets").map { b =>
-        val bf = BucketFile(Json.int(b, "bucket"), Json.str(b, "path"), Json.int(b, "schemaId"), Json.long(b, "rows"))
-        bf.bucket -> bf
-      }.toMap,
+      files = Json.arr(n, "files").map { f =>
+        DataFile(Json.int(f, "bucket"), Json.str(f, "path"), Json.int(f, "schemaId"),
+          Json.long(f, "rows"), Json.long(f, "minKey"), Json.long(f, "maxKey"))
+      },
       fence = Json.objFields(n, "fence").map { case (k, v) => k.toInt -> v.asLong() }.toMap,
       metrics = Json.objFields(n, "metrics").map { case (k, v) => k -> v.asLong() }.toMap,
       committedBatchId = Json.long(n, "committedBatchId"),
       schemas = Json.arr(n, "schemas").map(TableSchema.fromJsonNode),
       tsMillis = Json.long(n, "tsMillis"),
-      ddlSeq = if (n.has("ddlSeq")) Json.long(n, "ddlSeq") else -1L)
+      ddlSeq = if (n.has("ddlSeq")) Json.long(n, "ddlSeq") else -1L,
+      targetFileRows = if (n.has("targetFileRows")) Json.long(n, "targetFileRows") else 1L << 20)
   }
 }

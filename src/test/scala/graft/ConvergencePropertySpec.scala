@@ -32,7 +32,7 @@ class ConvergencePropertySpec extends AnyFunSuite {
     .map { case ((r, p), (sha, seq)) => (r, p, sha, seq) }.toSet
 
   private def tableState(table: LakeTable): Set[(String, String, String, Long)] =
-    table.readInternal(table.snapshot, table.snapshot.buckets.keySet)
+    table.readAllInternal()
       .filter(!col("_deleted"))
       .select(col("repo"), col("path"), sha2(col("content"), 256), col("_seq"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet

@@ -56,9 +56,9 @@ class DdlCrashRetrySpec extends AnyFunSuite {
     // two halves → files written under different schema versions
     Ingest.applyBatch(table, events.take(1000).toDS().toDF(), batchId = 0)
     Ingest.applyBatch(table, events.drop(1000).toDS().toDF(), batchId = 1)
-    val mixed = table.snapshot.buckets.values.map(_.schemaId).toSet
+    val mixed = table.snapshot.files.map(_.schemaId).toSet
     graft.lake.Maintenance.compact(table, force = true, tombstoneHorizon = Some(Long.MaxValue))
-    val after = table.snapshot.buckets.values.map(_.schemaId).toSet
+    val after = table.snapshot.files.map(_.schemaId).toSet
     assert(after === Set(table.schema.schemaId), s"compaction must unify schemas (was $mixed)")
     val oracle = Oracle.contentSha(Oracle.replay(events))
       .map { case ((r, p), (sha, _)) => (r, p, sha) }.toSet

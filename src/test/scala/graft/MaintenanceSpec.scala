@@ -25,14 +25,14 @@ class MaintenanceSpec extends AnyFunSuite {
     val table = LakeTable.load(spark, tableDir)
 
     val before = liveSha(table)
-    val hadTombstones = table.readInternal(table.snapshot, table.snapshot.buckets.keySet)
+    val hadTombstones = table.readAllInternal()
       .filter(col("_deleted")).count()
     assert(hadTombstones > 0, "test needs tombstones to GC")
 
     val res = Maintenance.compact(table, tombstoneHorizon = Some(Long.MaxValue), force = true)
     assert(res.tombstonesDropped === hadTombstones)
     assert(liveSha(table) === before, "compaction must not change live rows")
-    assert(table.readInternal(table.snapshot, table.snapshot.buckets.keySet)
+    assert(table.readAllInternal()
       .filter(col("_deleted")).count() === 0)
 
     // oracle check still holds post-compaction

@@ -31,7 +31,7 @@ class ReplayConvergenceSpec extends AnyFunSuite {
     // oracle
     val oracle = Oracle.contentSha(Oracle.replay(ChangelogGen.eventsLocal(cfg)))
 
-    val got = table.readInternal(table.snapshot, table.snapshot.buckets.keySet)
+    val got = table.readAllInternal()
       .filter(!col("_deleted"))
       .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"), col("_seq"))
       .collect()
@@ -62,7 +62,7 @@ class ReplayConvergenceSpec extends AnyFunSuite {
   }
 
   private def tableShaSet(table: LakeTable): Set[(String, String, String, Long)] =
-    table.readInternal(table.snapshot, table.snapshot.buckets.keySet)
+    table.readAllInternal()
       .filter(!col("_deleted"))
       .select(col("repo"), col("path"), sha2(col("content"), 256), col("_seq"))
       .collect()
