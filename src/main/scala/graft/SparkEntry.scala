@@ -166,14 +166,46 @@ object SparkEntry {
   }
 
   /** Hot-key detection (skew instrumentation, SURVEY §2.6 P5): the keys whose
-    * event counts dominate — what the salting path keys off. */
+    * event counts dominate — what the salting path keys off. Top-10 via
+    * orderBy().limit() = TakeOrderedAndProject (a global-window row_number
+    * would funnel every distinct key into ONE partition); rank is then
+    * derived on the 10 survivors with a tiny self-join (count of strictly
+    * better rows + 1 — exact row_number semantics since user_id breaks ties
+    * totally). */
   private def qHotKeys(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("n").desc, col("user_id"))
-    t(s, dir, "events")
+    val top = t(s, dir, "events")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(10)
+    val a = top.alias("a"); val b = top.alias("b")
+    a.join(b,
+        col("b.n") > col("a.n") ||
+          (col("b.n") === col("a.n") && col("b.user_id") < col("a.user_id")),
+        "left")
+      .groupBy(col("a.user_id").as("user_id"), col("a.n").as("n"))
+      .agg((count(col("b.user_id")) + 1).cast("long").as("rank"))
+  }
+
+  /** A4 — changed-fields diff projection (DiffData,
+    * /root/reference/config/aggregation.go:164-207): consecutive events per
+    * user form (before, after) image pairs; emit the changed field names,
+    * with `props` excluded (exclude_field) and the (user_id, event_id) key
+    * re-attached (primary_key). */
+  private def qChangedFields(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val paired = t(s, dir, "events")
+      .withColumn("_prev_id", lag(col("event_id"), 1).over(w))
+      .withColumn("before", struct(
+        lag(col("event_type"), 1).over(w).as("event_type"),
+        lag(col("value"), 1).over(w).as("value"),
+        lag(col("props"), 1).over(w).as("props")))
+      .withColumn("after", struct(col("event_type"), col("value"), col("props")))
+      .filter(col("_prev_id").isNotNull)
+    graft.operators.DiffData
+      .diff(paired, "before", "after", Seq("user_id", "event_id"), exclude = Seq("props"))
+      .select(col("user_id"), col("event_id"),
+        concat_ws(",", col("changed_fields")).as("changed"))
   }
 
   // ---------------------------------------- training-data pipeline operators
@@ -243,17 +275,19 @@ object SparkEntry {
   /** Brute-force cosine top-k over the embedding column (ANN baseline):
     * 8 query vectors broadcast against all, top-3 by rounded cosine.
     * NOTE: ranks by the ROUNDED cosine (ties broken by id) so the ordering is
-    * bit-identical to the DuckDB oracle — hence the rounding happens before
-    * AnnSearch's rank would; implemented on AnnSearch's cosine kernel. */
+    * bit-identical to the DuckDB oracle; norms are projected once per side
+    * before the join (a per-pair l2norm re-fold was the round-1 hot spot). */
   private def qAnnCosineTopk(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.AnnSearch
     val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), AnnSearch.l2norm(col("embedding")).as("cnorm"))
     val q = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cnorm").as("qnorm"))
     val pairs = broadcast(q).crossJoin(e)
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
-        round(AnnSearch.cosine(col("qe"), col("embedding")) * 10000).cast("long").as("cos_e4"))
+        round(AnnSearch.cosineWithNorms(col("qe"), col("embedding"),
+          col("qnorm"), col("cnorm")) * 10000).cast("long").as("cos_e4"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_e4").desc, col("vec_id"))
     pairs.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
@@ -261,20 +295,23 @@ object SparkEntry {
   }
 
   /** MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket-join).
-    * No SQL oracle: signatures derive from Spark's xxhash64 — correctness is
-    * proven against driver-side ground truth in TextDedupSpec. */
+    * Signatures are md5+affine ([[graft.functions.OracleHash]]), so the
+    * DuckDB oracle reproduces them bit-for-bit — full hash-checked. */
   private def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     graft.functions.TextDedup
       .minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleLen = 3, bands = 4, rowsPerBand = 4, minEst = 0.24)
+        shingleLen = 3, bands = 4, rowsPerBand = 4, minEst = 0.25)
       .select(col("id_a"), col("id_b"),
         round(col("est_jaccard") * 10000).cast("long").as("est_e4"))
 
-  /** SimHash near-dup pairs (64-bit sketch, pigeonhole-blocked). Rows-only. */
+  /** SimHash near-dup pairs (62-bit md5-derived sketch, pigeonhole-blocked at
+    * maxHamming=6 — 8-bit blocks; the round-1 default of 12 made 4-5-bit
+    * blocks and a near-cartesian candidate set). Hash-checked vs DuckDB. */
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     graft.functions.TextDedup
       .simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleLen = 3, maxHamming = 12)
+        shingleLen = 3, maxHamming = 6)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
 
   /** Exact 1-gram Jaccard between consecutive docs — the SQL-checkable slice
     * of the n-gram-Jaccard dedup operator. */
@@ -295,14 +332,31 @@ object SparkEntry {
           .cast("long").as("jaccard_e4"))
   }
 
-  /** LSH-bucketed ANN (random hyperplanes, multi-probe) — the 100 TB scale
-    * path; recall vs brute force asserted in TextDedupSpec. Rows-only. */
+  /** LSH-bucketed ANN (fixed-integer hyperplanes, multi-probe) — the 100 TB
+    * scale path; recall vs brute force asserted in TextDedupSpec. The baked
+    * plane table makes the bucketing reproducible in DuckDB, so this is
+    * hash-checked end-to-end; ranking uses the ROUNDED cosine (ties by id)
+    * for bit-identical ordering, like ann_cosine_topk. */
   private def qAnnLshTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    graft.functions.AnnSearch
-      .lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3, bits = 8)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos") * 10000).cast("long").as("cos_e4"), col("rank").cast("long"))
+    import graft.functions.AnnSearch
+    val bits = 8
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      AnnSearch.l2norm(col("embedding")).as("nrm"),
+      AnnSearch.hyperplaneSketch(col("embedding"), bits).as("bucket"))
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"),
+        explode(array(col("bucket") +: (0 until bits).map(b =>
+          col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
+    val cand = probes.join(e, "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(AnnSearch.cosineWithNorms(col("qe"), col("embedding"),
+          col("qn"), col("nrm")) * 10000).cast("long").as("cos_e4"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_e4").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos_e4"), col("rank"))
   }
 
   // --------------------------------------------------------------- registry
@@ -320,6 +374,7 @@ object SparkEntry {
     "cdc_op_metrics" -> (qOpMetrics _),
     "cdc_enrich_broadcast" -> (qEnrichBroadcast _),
     "cdc_hot_keys" -> (qHotKeys _),
+    "cdc_changed_fields" -> (qChangedFields _),
     "dedup_exact" -> (qDedupExact _),
     "doc_fingerprint" -> (qDocFingerprint _),
     "text_quality" -> (qTextQuality _),
@@ -332,7 +387,102 @@ object SparkEntry {
     "text_jaccard_adjacent" -> (qTextJaccardAdjacent _),
     "ann_lsh_topk" -> (qAnnLshTopk _))
 
+  // ---- generated oracle SQL for the hash-based operators (constants shared
+  //      with the Spark plans via OracleHash) ----
+
+  private def minhashOracleSql: String = {
+    import graft.functions.OracleHash
+    val k = 16; val bands = 4; val r = 4
+    val as = OracleHash.coefA(k); val bs = OracleHash.coefB(k)
+    val sigEntries = (0 until k).map { j =>
+      s"list_aggregate(list_transform(hs, h -> (${as(j)}*h + ${bs(j)}) % ${OracleHash.P}), 'min')"
+    }.mkString("[", ", ", "]")
+    s"""WITH sh AS (SELECT doc_id AS doc, ${OracleHash.sqlShingles("text", 3)} AS sh FROM documents),
+       |hs AS (SELECT doc, list_transform(sh, s -> ${OracleHash.sqlH32("s")}) AS hs FROM sh),
+       |sig AS (SELECT doc, $sigEntries AS sig FROM hs),
+       |banded AS (
+       |  SELECT doc, sig, b::VARCHAR || '|' || array_to_string(sig[b*$r+1 : b*$r+$r], ',') AS bucket
+       |  FROM sig, unnest(${(0 until bands).mkString("[", ",", "]")}) AS t(b)
+       |  QUALIFY count(*) OVER (PARTITION BY bucket) <= ${graft.functions.TextDedup.DefaultBucketCap}),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+       |    list_sum(list_transform(range(1, ${k + 1}),
+       |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))::BIGINT AS cnt
+       |  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc < b.doc)
+       |SELECT id_a, id_b, CAST(round(cnt * 10000.0 / $k) AS BIGINT) AS est_e4
+       |FROM pairs WHERE cnt::DOUBLE / $k >= 0.25""".stripMargin
+  }
+
+  private def simhashOracleSql: String = {
+    import graft.functions.OracleHash
+    val maxHamming = 6; val nBands = maxHamming + 1; val width = 62 / nBands
+    val lastMask = (1L << (62 - (nBands - 1) * width)) - 1L
+    val mask = (1L << width) - 1L
+    s"""WITH sh AS (SELECT doc_id AS doc, ${OracleHash.sqlShingles("text", 3)} AS sh FROM documents),
+       |hc AS (SELECT doc, list_transform(sh, s -> ${OracleHash.sqlH62("md5(s)")}) AS hs FROM sh),
+       |sk AS (SELECT doc, list_sum(list_transform(range(0, 62), i ->
+       |    CASE WHEN list_sum(list_transform(hs,
+       |           h -> CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       |         THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS sketch FROM hc),
+       |blocked AS (
+       |  SELECT doc, sketch, q,
+       |         (sketch >> (q * $width)) & (CASE WHEN q = ${nBands - 1} THEN $lastMask ELSE $mask END) AS block
+       |  FROM sk, unnest(${(0 until nBands).mkString("[", ",", "]")}) AS t(q)
+       |  QUALIFY count(*) OVER (PARTITION BY q, block) <= ${graft.functions.TextDedup.DefaultBucketCap})
+       |SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+       |       bit_count(xor(a.sketch, b.sketch))::BIGINT AS hamming
+       |FROM blocked a JOIN blocked b ON a.q = b.q AND a.block = b.block AND a.doc < b.doc
+       |WHERE bit_count(xor(a.sketch, b.sketch)) <= $maxHamming""".stripMargin
+  }
+
+  private def annLshOracleSql: String = {
+    import graft.functions.OracleHash
+    val bits = 8
+    val planes = OracleHash.sqlLongListList(
+      OracleHash.planeInts(bits, graft.functions.AnnSearch.MaxDim).map(_.take(64)))
+    val flips = (0 until bits).map(b => s"xor(bucket, ${1L << b})").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |        sqrt(list_dot_product(embedding, embedding)) AS nrm FROM embeddings),
+       |sk AS (
+       |  SELECT vec_id, embedding, nrm,
+       |    list_sum(list_transform(range(0, $bits), q ->
+       |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), i ->
+       |             embedding[i] * (($planes)[q+1][i] / 100000.0 - 0.5))) > 0
+       |           THEN (1::BIGINT << q) ELSE 0 END))::BIGINT AS bucket
+       |  FROM e),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+       |         unnest([bucket, $flips]) AS bucket
+       |  FROM sk WHERE vec_id < 8),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+       |     CAST(round(list_dot_product(p.qe, c.embedding) / (p.qn * c.nrm) * 10000) AS BIGINT) AS cos_e4
+       |  FROM probes p JOIN sk c ON p.bucket = c.bucket
+       |  WHERE c.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, cos_e4, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos_e4 DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM cand) WHERE rank <= 3""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_simhash" -> simhashOracleSql,
+    "ann_lsh_topk" -> annLshOracleSql,
+
+    "cdc_changed_fields" ->
+      """SELECT user_id, event_id,
+        |  concat_ws(',',
+        |    CASE WHEN event_type IS DISTINCT FROM prev_type THEN 'event_type' END,
+        |    CASE WHEN value IS DISTINCT FROM prev_value THEN 'value' END) AS changed
+        |FROM (SELECT user_id, event_id, event_type, value,
+        |        lag(event_type) OVER w AS prev_type,
+        |        lag(value) OVER w AS prev_value,
+        |        lag(event_id) OVER w AS prev_id
+        |      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |WHERE prev_id IS NOT NULL
+        |  AND (event_type IS DISTINCT FROM prev_type OR value IS DISTINCT FROM prev_value)""".stripMargin,
+
     "cdc_validate_project" ->
       s"""SELECT event_id, user_id, op FROM (
          |  SELECT event_id, user_id, $opSql AS op FROM events

@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   *    (multi-probe via sketch XOR within hamming ≤ 1), then exact cosine
   *    re-rank. The scale path: the corpus shuffle is by bucket key, each
   *    bucket a tiny fraction of 100 TB.
+  *
+  * Norms are PROJECTED ONCE per row before any join (a cosine that re-folds
+  * `l2norm` per pair costs |queries| × |corpus| redundant interpreted folds —
+  * measured 6.8 s → the dominant cost of the round-1 `ann_cosine_topk`).
+  * Hyperplanes are fixed integer tables ([[OracleHash.planeInts]]) baked into
+  * the plan, so the bucketing is reproducible in an external SQL oracle.
   */
 object AnnSearch {
 
@@ -26,6 +32,10 @@ object AnnSearch {
   def l2norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
+  /** cosine from a precomputed-norm pair — the join-side kernel. */
+  def cosineWithNorms(a: Column, b: Column, an: Column, bn: Column): Column =
+    dot(a, b) / (an * bn)
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
   /** Exact top-k neighbors for each query vector.
@@ -33,22 +43,28 @@ object AnnSearch {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val pairs = broadcast(q).crossJoin(corpus)
-      .filter(col("query_id") =!= col(idCol))
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        cosine(col("qvec"), col(vecCol)).as("cos"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      l2norm(col(vecCol)).as("qnorm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      l2norm(col(vecCol)).as("cnorm"))
+    val pairs = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** H-bit random-hyperplane sign sketch. Plane h's component i is a
-    * deterministic pseudo-random value in [-0.5, 0.5) derived from
-    * xxhash64(h, i) — reproducible across sessions, no stored model. */
+  /** Max vector length supported by the baked hyperplane table. */
+  val MaxDim = 256
+
+  /** H-bit random-hyperplane sign sketch. Plane q's component i is
+    * (planeInts(q)(i)/100000 − 0.5) — a fixed integer table, identical in the
+    * Spark plan and the SQL oracle. ONE traversal of the vector with a
+    * bits-wide projection accumulator (a per-bit formulation would re-fold
+    * the vector `bits` times — higher-order functions are interpreted). */
   def hyperplaneSketch(vec: Column, bits: Int): Column = {
-    // ONE traversal of the vector with a bits-wide projection accumulator
-    // (higher-order functions are interpreted; a per-bit formulation would
-    // re-fold the vector `bits` times — same lesson as TextDedup.simHash)
+    val planes = typedlit(OracleHash.planeInts(bits, MaxDim))
     val masks = typedlit((0 until bits).map(1L << _))
     val indexed = zip_with(vec, sequence(lit(0), size(vec) - 1),
       (x, i) => struct(x.cast("double").as("x"), i.as("i")))
@@ -56,8 +72,8 @@ object AnnSearch {
       indexed,
       array_repeat(lit(0.0), bits),
       (acc, e) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
-        (a, h) => a + e.getField("x") *
-          ((pmod(xxhash64(h, e.getField("i")), lit(100000L)).cast("double") / 100000.0) - 0.5)))
+        (a, q) => a + e.getField("x") *
+          (element_at(element_at(planes, q + 1), e.getField("i") + 1).cast("double") / 100000.0 - 0.5)))
     aggregate(zip_with(projs, masks, (pj, m) => when(pj > 0, m).otherwise(lit(0L))),
       lit(0L), (a, x) => a + x)
   }
@@ -70,17 +86,19 @@ object AnnSearch {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, bits: Int = 12): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      l2norm(col(vecCol)).as("cnorm"),
       hyperplaneSketch(col(vecCol), bits).as("bucket"))
     // query probes: own bucket + all 1-bit flips
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        l2norm(col(vecCol)).as("qnorm"),
         hyperplaneSketch(col(vecCol), bits).as("sk"))
-      .select(col("query_id"), col("qvec"),
+      .select(col("query_id"), col("qvec"), col("qnorm"),
         explode(array(col("sk") +: (0 until bits).map(b =>
           col("sk").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
     val pairs = q.join(c, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("cos"))
+        cosineWithNorms(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")).as("cos"))
       .distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

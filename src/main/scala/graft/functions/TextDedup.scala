@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for large text corpora — fully declarative
@@ -8,15 +9,24 @@ import org.apache.spark.sql.functions._
   * whole-stage codegen and scales with executors):
   *
   *  - exact dedup: content-hash groupBy
-  *  - MinHash + LSH: shingle → K-permutation minhash signature → banded
+  *  - MinHash + LSH: shingle → k-permutation minhash signature → banded
   *    bucket join → candidate pairs + signature-similarity estimate
-  *  - SimHash: 64-bit hyperplane sketch + hamming distance
+  *  - SimHash: 62-bit sketch + hamming distance with pigeonhole blocking
   *  - n-gram Jaccard: exact set similarity via shingle co-occurrence join
   *
-  * All hashes derive from Spark's xxhash64 (deterministic across sessions),
-  * with per-permutation affine mixing (odd multiplier ⇒ bijective mod 2^64).
+  * All hashing derives from md5 + affine mixing ([[OracleHash]]) so every
+  * signature is reproducible bit-for-bit in an external SQL engine — the
+  * driver's DuckDB oracle checks these operators' exact output, not just row
+  * counts.
   */
 object TextDedup {
+
+  /** Default cap on LSH bucket size: a degenerate band bucket (boilerplate
+    * shared by half the corpus) would otherwise go quadratic in the
+    * self-join. Recall loss only affects pairs whose EVERY shared band is
+    * degenerate — near-dup pairs in a boilerplate-heavy corpus still meet in
+    * their non-boilerplate bands. */
+  val DefaultBucketCap = 2000
 
   /** Word n-gram shingles of a text column (array of strings). */
   def shingles(text: Column, n: Int): Column = {
@@ -26,14 +36,14 @@ object TextDedup {
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
-  /** Shingle hashes: strings hashed to longs exactly once. */
+  /** Shingle hashes: strings → unsigned 32-bit md5-derived ints, exactly once. */
   def shingleHashes(text: Column, n: Int): Column =
-    transform(shingles(text, n), s => xxhash64(s))
+    transform(shingles(text, n), s => OracleHash.h32(s))
 
   /** MinHash signature (array<bigint> of length k) from PRE-HASHED shingles:
     * ONE traversal of the hash array with a k-wide running-min accumulator;
-    * permutation j re-mixes the 8-byte base hash as xxhash64(j, h) (no string
-    * re-hashing, no affine multiplication that would trip ANSI overflow).
+    * permutation j re-mixes the 32-bit base hash as (a_j*h + b_j) mod 2^61-1
+    * (a_j < 2^30 ⇒ no ANSI overflow; constants from [[OracleHash.coefA]]).
     *
     * Single-traversal matters doubly here: higher-order functions are
     * interpreted, and a per-permutation formulation (k lambdas each folding
@@ -41,21 +51,23 @@ object TextDedup {
     * CollapseProject even re-inlines a pre-projected hash column, so the
     * shape of THIS expression is the only reliable way to hash once
     * (a k-lambda draft measured ~18× slower on 5000 docs). */
-  def minHashSignatureFromHashes(hashes: Column, k: Int): Column =
+  def minHashSignatureFromHashes(hashes: Column, k: Int): Column = {
+    val ab = typedlit(OracleHash.coefA(k).zip(OracleHash.coefB(k)))
     aggregate(
       hashes,
       array_repeat(lit(Long.MaxValue), k),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)),
-        (a, j) => least(a, xxhash64(j, h))))
+      (acc, h) => zip_with(acc, ab,
+        (a, c) => least(a, pmod(c.getField("_1") * h + c.getField("_2"), lit(OracleHash.P)))))
+  }
 
   /** Convenience one-shot form over a shingle array. */
   def minHashSignature(shingleArr: Column, k: Int): Column =
-    minHashSignatureFromHashes(transform(shingleArr, s => xxhash64(s)), k)
+    minHashSignatureFromHashes(transform(shingleArr, s => OracleHash.h32(s)), k)
 
   /** Exact dedup groups: one row per distinct content hash with count and the
     * kept doc (min id) — the hash-groupBy scale path. */
   def exactDupGroups(docs: DataFrame, id: String, text: String): DataFrame =
-    docs.groupBy(xxhash64(col(text)).as("content_hash"))
+    docs.groupBy(md5(col(text)).as("content_hash"))
       .agg(count(lit(1)).as("n"), min(col(id)).as("keeper"))
 
   /** MinHash-LSH candidate pairs.
@@ -63,95 +75,108 @@ object TextDedup {
     * Signature split into `bands` bands of `rowsPerBand`; docs sharing any
     * band bucket become candidates (one shuffle on band-bucket key — the
     * classic sub-quadratic path); pairs are scored by the fraction of equal
-    * signature positions (an unbiased Jaccard estimate).
+    * signature positions (an unbiased Jaccard estimate). Buckets larger than
+    * `bucketCap` are dropped (quadratic-blowup guard).
+    *
+    * The signature table is persisted for the self-join's two sides, the
+    * result is materialized via localCheckpoint, and the signatures are
+    * UNPERSISTED before returning — repeated invocations leak nothing.
     *
     * @return (id_a, id_b, est_jaccard) with id_a < id_b, est ≥ minEst
     */
   def minHashLshPairs(
       docs: DataFrame, id: String, text: String,
       shingleLen: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
-      minEst: Double = 0.5): DataFrame = {
+      minEst: Double = 0.5, bucketCap: Int = DefaultBucketCap): DataFrame = {
     val k = bands * rowsPerBand
-    // materialize signatures once — BOTH sides of the LSH self-join would
-    // otherwise recompute the k minhash passes per row (at lake scale:
-    // checkpoint the signature table instead of caching)
     val sig = docs
       .select(col(id).as("doc"), shingleHashes(col(text), shingleLen).as("hs"))
       .select(col("doc"), minHashSignatureFromHashes(col("hs"), k).as("sig"))
       .persist()
-    // band key: hash of the band's slice of the signature
-    val banded = sig.select(col("doc"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_", b, concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    val est = {
+    try {
+      // band bucket: band index + the band's signature slice, as a string key
+      val banded = sig.select(col("doc"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("|", b.cast("string"), concat_ws(",",
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string")))))).as("bucket"))
+      val capped = banded
+        .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+        .filter(col("_bsz") <= bucketCap)
+        .drop("_bsz")
+      val a = capped.alias("a")
+      val b = capped.alias("b")
       val eq = zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0))
-      aggregate(eq, lit(0), (acc, x) => acc + x).cast("double") / lit(k)
-    }
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"), est.as("est_jaccard"))
-      .distinct()
-      .filter(col("est_jaccard") >= minEst)
+      val est = aggregate(eq, lit(0), (acc, x) => acc + x).cast("double") / lit(k)
+      val pairs = a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"), est.as("est_jaccard"))
+        .distinct()
+        .filter(col("est_jaccard") >= minEst)
+      pairs.localCheckpoint(true) // materialize so sig can be unpersisted now
+    } finally sig.unpersist(blocking = false)
   }
 
-  /** 64-bit SimHash of a shingle array: bit i is the sign of the sum over
-    * shingles of ±1 according to bit i of the shingle's hash. Declarative:
-    * per-bit aggregate over the (hash-projected) shingle array. */
+  /** 62-bit SimHash of a shingle array: bit i is the sign of the sum over
+    * shingles of ±1 according to bit i of the shingle's packed md5 hash.
+    * ONE traversal with a 62-wide counter array (a per-bit formulation would
+    * re-hash every shingle 62× — higher-order functions are interpreted).
+    * 62 bits (31 from each md5 half) keep every mask and sum inside a signed
+    * 64-bit integer in any engine. */
   def simHash(shingleArr: Column): Column = {
-    // ONE traversal of the shingle hashes with a 64-wide counter array:
-    // counts[i] += ±1 by bit i of xxhash64(shingle). (A per-bit formulation
-    // would re-evaluate the hash 64× per shingle — higher-order functions are
-    // interpreted, so single-pass matters.) Bit masks are disjoint, so the
-    // final OR of per-bit masks is a plain sum.
-    val masks = typedlit((0 until 64).map(1L << _))
+    val masks = typedlit((0 until 62).map(1L << _))
     val counts = aggregate(
-      transform(shingleArr, s => xxhash64(s)),
-      array_repeat(lit(0L), 64),
+      transform(transform(shingleArr, s => md5(s)), m => OracleHash.h62FromMd5Hex(m)),
+      array_repeat(lit(0L), 62),
       (acc, h) => zip_with(acc, masks,
         (a, m) => a + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
     aggregate(zip_with(counts, masks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
       lit(0L), (a, x) => a + x)
   }
 
-  /** Hamming distance between two 64-bit sketches. */
+  /** Hamming distance between two sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs with pigeonhole blocking: the 64-bit sketch is
+  /** SimHash near-dup pairs with pigeonhole blocking: the 62-bit sketch is
     * split into (maxHamming + 1) bit-bands — a pair within hamming distance
     * maxHamming MUST agree on at least one band — candidates share any band
-    * value, then the TRUE hamming distance verifies. (Blocking on fewer bands
-    * than maxHamming+1 would silently drop qualifying pairs whose differing
-    * bits spread across all bands.) More bands ⇒ narrower bands ⇒ more
-    * candidates to verify: recall is exact, cost grows with maxHamming. */
+    * value, then the TRUE hamming distance verifies. Recall is exact; cost
+    * grows with maxHamming (narrower bands ⇒ more candidates), so the default
+    * stays at 6 (7 bands ⇒ 8-bit blocks ⇒ 256+ values per band; the round-1
+    * default of 12 made 4-5-bit blocks and went near-cartesian). Oversized
+    * blocks are dropped like LSH buckets. */
   def simHashPairs(
       docs: DataFrame, id: String, text: String,
-      shingleLen: Int = 3, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 31, "maxHamming out of range")
+      shingleLen: Int = 3, maxHamming: Int = 6,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 30, "maxHamming out of range")
     val nBands = maxHamming + 1
-    val width = 64 / nBands // last band absorbs the remainder bits
+    val width = 62 / nBands // last band absorbs the remainder bits
     val sk = docs.select(col(id).as("doc"),
       simHash(shingles(col(text), shingleLen)).as("sketch"))
-      .persist() // self-joined below — compute sketches once
-    val bandExprs = (0 until nBands).map { q =>
-      val lo = q * width
-      val w = if (q == nBands - 1) 64 - lo else width
-      val mask = if (w >= 64) -1L else (1L << w) - 1L
-      shiftright(col("sketch"), lo).bitwiseAND(lit(mask))
-    }
-    val blocked = sk.select(col("doc"), col("sketch"),
-      posexplode(array(bandExprs: _*)))
-      .withColumnRenamed("pos", "q").withColumnRenamed("col", "block")
-    val a = blocked.alias("a"); val b = blocked.alias("b")
-    a.join(b, col("a.q") === col("b.q") && col("a.block") === col("b.block") &&
-        col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        hamming(col("a.sketch"), col("b.sketch")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .persist()
+    try {
+      val bandExprs = (0 until nBands).map { q =>
+        val lo = q * width
+        val w = if (q == nBands - 1) 62 - lo else width
+        val mask = (1L << w) - 1L
+        shiftright(col("sketch"), lo).bitwiseAND(lit(mask))
+      }
+      val blocked = sk.select(col("doc"), col("sketch"),
+        posexplode(array(bandExprs: _*)))
+        .withColumnRenamed("pos", "q").withColumnRenamed("col", "block")
+      val capped = blocked
+        .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("q"), col("block"))))
+        .filter(col("_bsz") <= bucketCap)
+        .drop("_bsz")
+      val a = capped.alias("a"); val b = capped.alias("b")
+      val pairs = a.join(b, col("a.q") === col("b.q") && col("a.block") === col("b.block") &&
+          col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+          hamming(col("a.sketch"), col("b.sketch")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming)
+      pairs.localCheckpoint(true) // materialize so sk can be unpersisted now
+    } finally sk.unpersist(blocking = false)
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:

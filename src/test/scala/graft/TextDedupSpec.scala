@@ -91,6 +91,40 @@ class TextDedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall too low: $recall")
   }
 
+  test("LSH bucket cap: degenerate boilerplate corpus completes, cap bounds the self-join") {
+    import spark.implicits._
+    // every doc is identical boilerplate → ALL docs land in the same band
+    // buckets; without a cap the candidate join is a 50×50 cartesian blob
+    val boiler = (0 until 50).map(i => (i.toLong,
+      "exactly the same boilerplate header text repeated across every document in this corpus"))
+      .toDF("doc_id", "text")
+    val capped = TextDedup.minHashLshPairs(boiler, "doc_id", "text", minEst = 0.1, bucketCap = 5)
+    assert(capped.count() === 0, "cap must drop the degenerate buckets entirely")
+    val uncapped = TextDedup.minHashLshPairs(boiler, "doc_id", "text", minEst = 0.1)
+    assert(uncapped.count() === 50L * 49 / 2, "under the cap, all pairs emerge")
+    val simCapped = TextDedup.simHashPairs(boiler, "doc_id", "text", bucketCap = 5)
+    assert(simCapped.count() === 0)
+  }
+
+  test("diff data: changed fields only, exclude_field dropped, primary key re-attached") {
+    import spark.implicits._
+    import graft.operators.DiffData
+    val df = Seq(
+      (1L, ("a", 1.0, "x"), ("a", 2.0, "y")),  // value + excluded props change
+      (2L, ("a", 1.0, "x"), ("b", 1.0, "x")),  // name changes
+      (3L, ("a", 1.0, "x"), ("a", 1.0, "x"))   // no change → dropped
+    ).toDF("id", "before", "after")
+      .select(col("id"),
+        col("before").cast("struct<name:string,value:double,props:string>"),
+        col("after").cast("struct<name:string,value:double,props:string>"))
+    val out = DiffData.diff(df, "before", "after", Seq("id"), exclude = Seq("props"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getMap[String, String](2)))
+      .toMap
+    assert(out.keySet === Set(1L, 2L), "no-op rows are dropped (reference returns nil)")
+    assert(out(1L)._1 === Seq("value") && out(1L)._2 === Map("value" -> "2.0"))
+    assert(out(2L)._1 === Seq("name") && out(2L)._2 === Map("name" -> "b"))
+  }
+
   test("key grammar matches the reference's builder") {
     import spark.implicits._
     assert(Keys.buildKey(Some("agg"), Some("t"), "7") === "agg,t:7")
