@@ -28,7 +28,10 @@ object Bench {
     GenConfig(seed = 42L, nEvents = n,
       nRepos = math.max(64, (n / 2000L).toInt),
       pathsPerRepo = 64, skew = 3.0,
-      nPartitions = nPartitions, ddlEvery = 0L, contentLen = 160)
+      nPartitions = nPartitions,
+      // DDL ON in the headline: 4 schema evolutions per replay exercise the
+      // barrier's batch-split + schema-only commits inside the timed window
+      ddlEvery = math.max(1L, n / 4), contentLen = 160)
   }
 
   /** Run the CDC ingest over a pre-written changelog; returns elapsed sec.
@@ -70,6 +73,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // 0. warmup: JVM/codegen/parquet-reader startup otherwise lands entirely
+    // on the alphabetically-first query (~2 s of pure session warmup was
+    // mis-attributed to ann_cosine_topk in round 1)
+    Seq("events", "documents", "embeddings", "nation").foreach { tbl =>
+      try spark.read.parquet(s"$sfDir/$tbl.parquet").count() catch { case _: Throwable => }
+    }
+    try SparkEntry.queries("ann_cosine_topk")(spark, sfDir).count() catch { case _: Throwable => }
+
     // 1. operator queries
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -90,11 +101,17 @@ object Bench {
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + batchSec + streamSec
-    println(
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""cdc":{"events":${cfg.nEvents},"replay_sec":$batchSec,"replay_cold_sec":$batchColdSec,""" +
+      s""""cdc":{"events":${cfg.nEvents},"ddl":${cfg.nEvents / math.max(1L, cfg.ddlEvery)},""" +
+      s""""replay_sec":$batchSec,"replay_cold_sec":$batchColdSec,""" +
       s""""events_per_sec":${evps.toLong},""" +
-      s""""stream_sec":$streamSec,"stream_events_per_sec":${evpsStream.toLong},"cores":$cpus}}""")
+      s""""stream_sec":$streamSec,"stream_events_per_sec":${evpsStream.toLong},"cores":$cpus}}"""
+    println(line)
+    // clean machine-readable channel (the driver's sbt-tail scrape is lossy)
+    val bdir = java.nio.file.Paths.get("BENCH")
+    java.nio.file.Files.createDirectories(bdir)
+    java.nio.file.Files.writeString(bdir.resolve("bench_last.json"), line + "\n")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }

@@ -6,6 +6,7 @@ import graft.lake.LakeTable
 import graft.log.ChangeLog
 import graft.streaming.StreamIngest
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 
 /** spark-submit entry point — the engine's CLI, mirroring the reference's
   * command surface (/root/reference/cmd/run.go:29-72,
@@ -70,8 +71,28 @@ object Main {
         s"deadLetters=${bm.deadLetters} fencedOut=${bm.skippedByFence} ddl=${bm.ddlApplied}")
       report(spark, tableDir)
 
+    case "tail" =>
+      // continuous tail; stops gracefully when `stop <tableDir>` is issued
+      val Array(_, logDir, tableDir, ckptDir) = args.take(4)
+      val mft = if (args.length > 4) args(4).toInt else 8
+      if (!LakeTable.exists(tableDir)) LakeTable.create(spark, tableDir)
+      StreamIngest.tail(spark, logDir, tableDir, ckptDir, mft)
+      report(spark, tableDir)
+
+    case "stop" =>
+      // reference /rules/{name}/stop analog; resume = re-run `tail`/`run`
+      // with the same checkpoint dir
+      StreamIngest.requestStop(args(1))
+      println(s"stop requested for ${args(1)} (query finishes its in-flight batch)")
+
     case "report" =>
       report(spark, args(1))
+      val prog = java.nio.file.Paths.get(args(1), "_progress", "progress.jsonl")
+      if (java.nio.file.Files.exists(prog)) {
+        val lines = java.nio.file.Files.readAllLines(prog)
+        println(s"progress: ${lines.size()} events; last:")
+        lines.asScala.takeRight(3).foreach(l => println(s"  ${l.take(400)}"))
+      }
 
     case "compact" =>
       val table = LakeTable.load(spark, args(1))
@@ -123,6 +144,8 @@ object Main {
     """usage: graft.app.Main <command> ...
       |  gen     <logDir> [nEvents] [nRepos] [pathsPerRepo] [nPartitions] [ddlEvery]
       |  run     <logDir> <tableDir> <checkpointDir> [maxFilesPerTrigger]
+      |  tail    <logDir> <tableDir> <checkpointDir> [maxFilesPerTrigger]  # continuous; `stop` ends it
+      |  stop    <tableDir>
       |  replay  <logDir> <tableDir>
       |  report  <tableDir>
       |  compact <tableDir> [tombstoneHorizonSeq]

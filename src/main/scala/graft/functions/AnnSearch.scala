@@ -25,12 +25,11 @@ import org.apache.spark.sql.functions._
   */
 object AnnSearch {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** in-order dot product — native codegen kernel (the interpreted
+    * aggregate/zip_with fold was the round-1 hot spot at ~0.4 ms/pair). */
+  def dot(a: Column, b: Column): Column = VecExprs.dot(a, b)
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def l2norm(a: Column): Column = sqrt(VecExprs.dot(a, a))
 
   /** cosine from a precomputed-norm pair — the join-side kernel. */
   def cosineWithNorms(a: Column, b: Column, an: Column, bn: Column): Column =
@@ -60,22 +59,15 @@ object AnnSearch {
 
   /** H-bit random-hyperplane sign sketch. Plane q's component i is
     * (planeInts(q)(i)/100000 − 0.5) — a fixed integer table, identical in the
-    * Spark plan and the SQL oracle. ONE traversal of the vector with a
-    * bits-wide projection accumulator (a per-bit formulation would re-fold
-    * the vector `bits` times — higher-order functions are interpreted). */
+    * Spark plan and the SQL oracle. Each plane projection is one codegen'd
+    * [[VecExprs.VecDot]] against a literal double array (same left-to-right
+    * IEEE accumulation as the oracle's list_sum). */
   def hyperplaneSketch(vec: Column, bits: Int): Column = {
-    val planes = typedlit(OracleHash.planeInts(bits, MaxDim))
-    val masks = typedlit((0 until bits).map(1L << _))
-    val indexed = zip_with(vec, sequence(lit(0), size(vec) - 1),
-      (x, i) => struct(x.cast("double").as("x"), i.as("i")))
-    val projs = aggregate(
-      indexed,
-      array_repeat(lit(0.0), bits),
-      (acc, e) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
-        (a, q) => a + e.getField("x") *
-          (element_at(element_at(planes, q + 1), e.getField("i") + 1).cast("double") / 100000.0 - 0.5)))
-    aggregate(zip_with(projs, masks, (pj, m) => when(pj > 0, m).otherwise(lit(0L))),
-      lit(0L), (a, x) => a + x)
+    val planes = OracleHash.planeInts(bits, MaxDim)
+      .map(row => typedlit(row.map(v => v / 100000.0 - 0.5)))
+    (0 until bits).map { q =>
+      when(VecExprs.dot(vec, planes(q)) > 0, lit(1L << q)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** LSH-bucketed ANN: candidates share a sketch bucket (multi-probe: the

@@ -36,33 +36,24 @@ object TextDedup {
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
-  /** Shingle hashes: strings → unsigned 32-bit md5-derived ints, exactly once. */
+  /** Shingle hashes: strings → unsigned 32-bit md5-derived ints, exactly once
+    * (fused codegen kernel — `shingles()`'s transform lambda re-evaluates the
+    * split per element, which was the real round-1 bottleneck). */
   def shingleHashes(text: Column, n: Int): Column =
-    transform(shingles(text, n), s => OracleHash.h32(s))
+    VecExprs.shingleH32(split(text, "\\s+"), text, n)
 
   /** MinHash signature (array<bigint> of length k) from PRE-HASHED shingles:
-    * ONE traversal of the hash array with a k-wide running-min accumulator;
     * permutation j re-mixes the 32-bit base hash as (a_j*h + b_j) mod 2^61-1
-    * (a_j < 2^30 ⇒ no ANSI overflow; constants from [[OracleHash.coefA]]).
-    *
-    * Single-traversal matters doubly here: higher-order functions are
-    * interpreted, and a per-permutation formulation (k lambdas each folding
-    * the array) re-evaluates its argument expression k times — Catalyst's
-    * CollapseProject even re-inlines a pre-projected hash column, so the
-    * shape of THIS expression is the only reliable way to hash once
-    * (a k-lambda draft measured ~18× slower on 5000 docs). */
-  def minHashSignatureFromHashes(hashes: Column, k: Int): Column = {
-    val ab = typedlit(OracleHash.coefA(k).zip(OracleHash.coefB(k)))
-    aggregate(
-      hashes,
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, h) => zip_with(acc, ab,
-        (a, c) => least(a, pmod(c.getField("_1") * h + c.getField("_2"), lit(OracleHash.P)))))
-  }
+    * (a_j < 2^30 ⇒ no overflow; constants from [[OracleHash.coefA]]).
+    * Implemented as a native codegen kernel ([[VecExprs.MinHashSig]]): the
+    * equivalent aggregate/zip_with formulation is interpreted and was the
+    * dominant cost of the whole query (k-wide fold per shingle). */
+  def minHashSignatureFromHashes(hashes: Column, k: Int): Column =
+    VecExprs.minHashSig(hashes, k)
 
   /** Convenience one-shot form over a shingle array. */
   def minHashSignature(shingleArr: Column, k: Int): Column =
-    minHashSignatureFromHashes(transform(shingleArr, s => OracleHash.h32(s)), k)
+    minHashSignatureFromHashes(VecExprs.md5H32Array(shingleArr), k)
 
   /** Exact dedup groups: one row per distinct content hash with count and the
     * kept doc (min id) — the hash-groupBy scale path. */
@@ -106,8 +97,7 @@ object TextDedup {
         .drop("_bsz")
       val a = capped.alias("a")
       val b = capped.alias("b")
-      val eq = zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0))
-      val est = aggregate(eq, lit(0), (acc, x) => acc + x).cast("double") / lit(k)
+      val est = VecExprs.eqCount(col("a.sig"), col("b.sig")).cast("double") / lit(k)
       val pairs = a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
         .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"), est.as("est_jaccard"))
         .distinct()
@@ -118,20 +108,12 @@ object TextDedup {
 
   /** 62-bit SimHash of a shingle array: bit i is the sign of the sum over
     * shingles of ±1 according to bit i of the shingle's packed md5 hash.
-    * ONE traversal with a 62-wide counter array (a per-bit formulation would
-    * re-hash every shingle 62× — higher-order functions are interpreted).
     * 62 bits (31 from each md5 half) keep every mask and sum inside a signed
-    * 64-bit integer in any engine. */
-  def simHash(shingleArr: Column): Column = {
-    val masks = typedlit((0 until 62).map(1L << _))
-    val counts = aggregate(
-      transform(transform(shingleArr, s => md5(s)), m => OracleHash.h62FromMd5Hex(m)),
-      array_repeat(lit(0L), 62),
-      (acc, h) => zip_with(acc, masks,
-        (a, m) => a + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
-    aggregate(zip_with(counts, masks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
-      lit(0L), (a, x) => a + x)
-  }
+    * 64-bit integer in any engine. The 62-wide vote fold is a native codegen
+    * kernel ([[VecExprs.SimHashSketch]]) — interpreted HOFs made this the
+    * slowest query in round 1. */
+  def simHash(shingleArr: Column): Column =
+    VecExprs.simHashSketch(VecExprs.md5H62Array(shingleArr))
 
   /** Hamming distance between two sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -152,7 +134,8 @@ object TextDedup {
     val nBands = maxHamming + 1
     val width = 62 / nBands // last band absorbs the remainder bits
     val sk = docs.select(col(id).as("doc"),
-      simHash(shingles(col(text), shingleLen)).as("sketch"))
+      VecExprs.simHashSketch(
+        VecExprs.shingleH62(split(col(text), "\\s+"), col(text), shingleLen)).as("sketch"))
       .persist()
     try {
       val bandExprs = (0 until nBands).map { q =>

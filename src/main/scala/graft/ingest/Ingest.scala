@@ -188,7 +188,36 @@ object Ingest {
           .map(r => (r.getLong(0), r.getStruct(1)))
           .sortBy(_._1)
 
+      // A DDL only needs a BARRIER (batch split before/after it) when it
+      // touches a column the row images actually carry — otherwise it
+      // commutes with row application: add_column of a fresh column reads
+      // null either way; widen/rename of a column no image mentions produces
+      // the same bytes whether existing values are cast/renamed before or
+      // after the rows merge (updates preserve uncarried columns). Splitting
+      // costs a full scan+dedup+merge PER SEGMENT, so recognizing commuting
+      // DDLs keeps a schema-evolving replay at O(one merge) instead of
+      // O(#DDLs) merges.
+      val imageFields: Set[String] = cached.schema("after").dataType match {
+        case s: StructType => s.fieldNames.toSet
+        case _ => Set.empty
+      }
+      def isBarrier(ddl: Row): Boolean = {
+        def s(name: String): String = {
+          val i = ddl.fieldIndex(name)
+          if (ddl.isNullAt(i)) null else ddl.getString(i)
+        }
+        imageFields.contains(s("column")) ||
+          (s("kind") == "rename_column" && imageFields.contains(s("newName")))
+      }
+
       if (ddls.isEmpty) {
+        mergeSegment(rowEvents, fenceDelta, isLast = true, wholeBatch = true)
+      } else if (ddls.forall { case (_, ddl) => !isBarrier(ddl) }) {
+        // all DDLs commute with this batch's rows: schema-only commits in seq
+        // order, then ONE merge of the whole batch
+        ddls.foreach { case (ddlSeq, ddl) =>
+          if (ddlSeq > table.snapshot.ddlSeq) applyDdl(table, ddlSeq, ddl)
+        }
         mergeSegment(rowEvents, fenceDelta, isLast = true, wholeBatch = true)
       } else {
         var lower = Long.MinValue

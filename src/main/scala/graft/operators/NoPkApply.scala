@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object NoPkApply {
 
+  /** Hard cap on the keyless fold: each event adds a plan layer, so an
+    * unbounded batch would melt the analyzer; beyond this, a keyless table is
+    * the wrong tool and the caller should assign a synthetic key. */
+  val MaxEvents = 10000
+  /** Materialize the folded state every K events so plan depth stays bounded
+    * (localCheckpoint truncates lineage; without it the plan grows linearly
+    * and analysis time quadratically). */
+  val CheckpointEvery = 32
+
   /** @param state  current table rows (any schema)
     * @param events rows with (op, seq, before:struct, after:struct) whose
     *               struct fields match the state schema
@@ -28,7 +37,11 @@ object NoPkApply {
       .select(col("op"), col("seq"), col("before"), col("after"))
       .collect()
       .sortBy(_.getLong(1))
-    ordered.foldLeft(state) { (st, ev) =>
+    require(ordered.length <= MaxEvents,
+      s"NoPkApply folds ${ordered.length} events sequentially (cap $MaxEvents): " +
+        "keyless apply is inherently row-at-a-time — give the table a key and use MergeApply")
+    ordered.zipWithIndex.foldLeft(state) { case (st0, (ev, i)) =>
+      val st = if (i > 0 && i % CheckpointEvery == 0) st0.localCheckpoint(true) else st0
       val op = ev.getString(0)
       def image(i: Int): Map[String, Any] = {
         val r = ev.getStruct(i)

@@ -72,8 +72,57 @@ object StreamIngest {
       checkpointDir: String,
       maxFilesPerTrigger: Int = 8,
       cfg: IngestConfig = IngestConfig()): Unit = {
+    val listener = new ProgressListener(tableDir)
+    spark.streams.addListener(listener)
     val q = start(spark, logDir, tableDir, checkpointDir, maxFilesPerTrigger,
       availableNow = true, cfg)
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally spark.streams.removeListener(listener)
+  }
+
+  private def stopMarker(tableDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(tableDir, "_control", "stop")
+
+  /** Request a graceful stop of the tail on `tableDir` — the file-based
+    * analog of the reference's `/rules/{name}/stop` HTTP route
+    * (/root/reference/rules/factory_http.go:10-25). The running query
+    * finishes its in-flight micro-batch (commit included) and terminates;
+    * `tail` with the same checkpoint resumes with nothing lost. */
+  def requestStop(tableDir: String): Unit = {
+    val m = stopMarker(tableDir)
+    java.nio.file.Files.createDirectories(m.getParent)
+    java.nio.file.Files.writeString(m, java.time.Instant.now().toString)
+  }
+
+  /** Continuous tail with run-report listener + graceful-stop control:
+    * progress JSONL lands in `<tableDir>/_progress/`, and a stop marker
+    * (written by [[requestStop]] / CLI `stop`) terminates the query after
+    * the current micro-batch. Blocks until stopped or failed. */
+  def tail(
+      spark: SparkSession,
+      logDir: String,
+      tableDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 8,
+      cfg: IngestConfig = IngestConfig()): Unit = {
+    val marker = stopMarker(tableDir)
+    java.nio.file.Files.deleteIfExists(marker) // stale marker must not kill a fresh run
+    val listener = new ProgressListener(tableDir)
+    spark.streams.addListener(listener)
+    val q = start(spark, logDir, tableDir, checkpointDir, maxFilesPerTrigger,
+      availableNow = false, cfg)
+    val watcher = new Thread(() => {
+      while (q.isActive) {
+        if (java.nio.file.Files.exists(marker)) q.stop()
+        else Thread.sleep(250)
+      }
+    }, s"graft-stop-watch-${q.id}")
+    watcher.setDaemon(true)
+    watcher.start()
+    try q.awaitTermination()
+    finally {
+      spark.streams.removeListener(listener)
+      java.nio.file.Files.deleteIfExists(marker)
+    }
   }
 }

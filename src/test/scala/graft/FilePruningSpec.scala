@@ -80,6 +80,23 @@ class FilePruningSpec extends AnyFunSuite {
       .collect()(0).getString(0) === "b-7")
   }
 
+  test("incremental merge physical plan: base side feeds the join with no Exchange") {
+    val dir = TestSpark.tmpDir("graft-prune-plan")
+    val table = LakeTable.create(spark, dir, numBuckets = 4, targetFileRows = 1000L)
+    MergeApply.merge(table, delta(0L until 5000L, "insert", id => id, id => s"a-$id"), Map.empty)
+    // reconstruct the broadcast-path matched join and inspect its plan: the
+    // big (base) side must reach BroadcastHashJoin directly from the scan
+    val sel = MergeApply.selectFiles(table, delta(Seq(10L), "update", _ => 9000L, id => s"u-$id"))
+    val base = table.readInternal(table.snapshot, sel.files).alias("b")
+    val d = delta(Seq(10L), "update", _ => 9000L, id => s"u-$id").alias("d")
+    val joined = base.join(broadcast(d),
+      col("b.repo") === col("d.repo") && col("b.path") === col("d.path"), "left_outer")
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"), s"expected BHJ:\n$physical")
+    assert(!physical.contains("Exchange hashpartitioning"),
+      s"base side must not shuffle:\n$physical")
+  }
+
   test("broadcast-incremental strategy is chosen for small deltas over a large base") {
     val dir = TestSpark.tmpDir("graft-prune3")
     val table = LakeTable.create(spark, dir, numBuckets = 4, targetFileRows = 1000L)

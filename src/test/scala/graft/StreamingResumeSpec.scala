@@ -69,6 +69,38 @@ class StreamingResumeSpec extends AnyFunSuite {
       "fence must skip every re-delivered event")
   }
 
+  test("graceful stop (marker) ends a continuous tail; resume from the same checkpoint loses nothing") {
+    val logDir = TestSpark.tmpDir("graft-stop-log")
+    val tableDir = TestSpark.tmpDir("graft-stop-table")
+    val ckptDir = TestSpark.tmpDir("graft-stop-ckpt")
+    val small = cfg.copy(nEvents = 8000L)
+    ChangeLog.write(ChangelogGen.events(spark, small), logDir, segmentsPerPartition = 6)
+    LakeTable.create(spark, tableDir, numBuckets = 8)
+
+    val tailThread = new Thread(() =>
+      StreamIngest.tail(spark, logDir, tableDir, ckptDir, maxFilesPerTrigger = 2))
+    tailThread.start()
+    // wait for at least one committed batch, then request a graceful stop
+    val deadline = System.currentTimeMillis() + 120000
+    while (LakeTable.load(spark, tableDir).snapshot.version < 1 &&
+      System.currentTimeMillis() < deadline) Thread.sleep(200)
+    assert(LakeTable.load(spark, tableDir).snapshot.version >= 1, "no batch committed in time")
+    StreamIngest.requestStop(tableDir)
+    tailThread.join(120000)
+    assert(!tailThread.isAlive, "tail must terminate after the stop request")
+
+    // run-report listener left progress evidence
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(tableDir, "_progress", "progress.jsonl")))
+
+    // resume from the SAME checkpoint to completion → exact oracle state
+    StreamIngest.runAvailable(spark, logDir, tableDir, ckptDir, maxFilesPerTrigger = 8)
+    val oracle = Oracle.contentSha(Oracle.replay(ChangelogGen.eventsLocal(small)))
+      .map { case ((r, p), (sha, _)) => (r, p, sha) }.toSet
+    assert(shaSet(LakeTable.load(spark, tableDir)) === oracle,
+      "stop → resume must lose nothing")
+  }
+
   test("foreachBatch retry of a committed batchId is an exact no-op") {
     val logDir = TestSpark.tmpDir("graft-retry-log")
     val tableDir = TestSpark.tmpDir("graft-retry-table")
