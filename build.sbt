@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // throughput collector: G1's concurrent cycles contend with 28+ mutator
+  // threads on this box; batch jobs prefer ParallelGC (measured lower
+  // per-stage jvmGCTime at high parallelism)
+  "-XX:+UseParallelGC",
 )

@@ -15,9 +15,10 @@ object StageDiag {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.files.maxPartitionBytes", "33554432")
+      .config("spark.sql.files.maxPartitionBytes", "16777216")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", "/dev/shm")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -31,7 +32,8 @@ object StageDiag {
           f"run=${m.executorRunTime / 1e3}%8.2fs cpu=${m.executorCpuTime / 1e9}%8.2fs " +
           f"gc=${m.jvmGCTime / 1e3}%6.2fs deser=${m.executorDeserializeTime / 1e3}%5.2fs " +
           f"shW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB shR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB " +
-          f"out=${m.outputMetrics.bytesWritten / 1e6}%8.1fMB [${s.name.take(40)}]")
+          f"out=${m.outputMetrics.bytesWritten / 1e6}%8.1fMB " +
+          f"spillM=${m.memoryBytesSpilled / 1e6}%7.1fMB spillD=${m.diskBytesSpilled / 1e6}%7.1fMB peakMem=${m.peakExecutionMemory / 1e6}%7.1fMB [${s.name.take(30)}]")
       }
     }
 

@@ -44,7 +44,17 @@ case class LastWriterAgg(
       if (sv > b.seq) {
         val p = payload.eval(input)
         b.seq = sv
-        b.row = if (p == null) null else proj(p.asInstanceOf[InternalRow]).copy()
+        // A log tail delivers a key's events offset-ASCENDING, so nearly
+        // every row replaces the buffered winner: copyFrom reuses the
+        // buffer's backing array instead of allocating per row (per-row
+        // .copy() churned gigabytes of young-gen garbage per 16M-event batch
+        // and showed up directly as multi-thread CPU inflation).
+        if (p == null) b.row = null
+        else {
+          val src = proj(p.asInstanceOf[InternalRow])
+          if (b.row == null) b.row = src.copy()
+          else b.row.copyFrom(src)
+        }
       }
     }
     b

@@ -113,6 +113,93 @@ object Ingest {
     // this pipeline does (one stats pass, one dedup pass) — measured 4×
     // slower with persist at 2M events.
     val cached = batch
+
+    // ---- fresh-table fast path (initial load / bulk replay) --------------
+    // With no manifest files there is nothing to select, so the expensive
+    // per-partition stats scan is unnecessary: a NARROW probe job (op, seq,
+    // ddl + one leaf per image struct — nested schema pruning keeps content
+    // out) collects DDLs and counts, and the fence/per-partition stats ride
+    // the merge job itself via Dataset.observe (PartitionLongAgg). One full
+    // scan per batch saved — at bulk-replay scale that is ~30% of wall-clock
+    // and DRAM traffic.
+    if (snap0.files.isEmpty) {
+      val isLiveRow = unfenced && err.isNull && isRowOp && passes
+      val probe = timed("probe-job")(cached.select(
+        count(lit(1)).as("total"),
+        sum(when(pastFence, 1L).otherwise(0L)).as("pastFence"),
+        sum(when(unfenced && err.isNotNull, 1L).otherwise(0L)).as("dl"),
+        sum(when(isLiveRow, 1L).otherwise(0L)).as("nrows"),
+        collect_list(when(unfenced && err.isNull && col("op") === Ops.Ddl,
+          struct(col("seq"), col("ddl")))).as("ddls"))
+        .collect()(0))
+      def pL(i: Int): Long = if (probe.isNullAt(i)) 0L else probe.getLong(i)
+      val total = pL(0); val pastFenceN = pL(1); val dlCount = pL(2); val rowCount = pL(3)
+      val unfencedN = if (cfg.orderedDelivery) pastFenceN else total
+      val ddls = probe.getSeq[Row](4).map(r => (r.getLong(0), r.getStruct(1))).sortBy(_._1)
+      val imageFields: Set[String] = cached.schema("after").dataType match {
+        case s: StructType => s.fieldNames.toSet
+        case _ => Set.empty
+      }
+      def isBarrier(ddl: Row): Boolean = {
+        def s(name: String): String = {
+          val i = ddl.fieldIndex(name)
+          if (ddl.isNullAt(i)) null else ddl.getString(i)
+        }
+        imageFields.contains(s("column")) ||
+          (s("kind") == "rename_column" && imageFields.contains(s("newName")))
+      }
+      if (ddls.forall { case (_, ddl) => !isBarrier(ddl) }) {
+        if (dlCount > 0) appendDeadLetters(table, cached.filter(unfenced && err.isNotNull), batchId)
+        ddls.foreach { case (ddlSeq, ddl) =>
+          if (ddlSeq > table.snapshot.ddlSeq) applyDdl(table, ddlSeq, ddl)
+        }
+        val extra = Map("deadLetters" -> dlCount, "eventsSeen" -> total)
+        val (bm, fenceDelta, perPartRows) =
+          if (rowCount == 0) {
+            // nothing to merge: fence via a tiny dedicated agg, fence-only commit
+            val f = cached.groupBy(col("partition")).agg(
+              max(col("offset")).as("m"),
+              sum(when(isLiveRow, 1L).otherwise(0L)).as("n")).collect()
+            val fence = f.map(r => r.getInt(0) -> r.getLong(1)).toMap
+            val rows = f.map(r => r.getInt(0) -> (if (r.isNullAt(2)) 0L else r.getLong(2))).toMap
+            table.commit(Set.empty, Seq.empty, fence, extra + ("batches" -> 1L), batchId)
+            (BatchMetrics(batchId, total, dlCount,
+              math.max(unfencedN - dlCount - ddls.length - rowCount, 0),
+              total - unfencedN, 0, 0, 0, ddls.length, table.snapshot.version),
+              fence, rows)
+          } else {
+            val obs = org.apache.spark.sql.Observation(s"ingest-${java.util.UUID.randomUUID()}")
+            // perPartRows counts RAW events per partition (not live rows):
+            // re-evaluating the validity predicate inside an interpreted
+            // per-row aggregate would cost more than the statistic is worth
+            val observed = cached.observe(obs,
+              graft.functions.PartitionLongAgg.partitionMax(col("partition"), col("offset")).as("fence"),
+              graft.functions.PartitionLongAgg.partitionSum(col("partition"), lit(1L)).as("perPartRows"))
+            val rowEvents = observed.filter(unfenced && err.isNull && isRowOp && passes)
+            val deduped =
+              if (cfg.saltedDedup > 1) Dedup.lastWriterPerKeySalted(rowEvents, cfg.saltedDedup)
+              else Dedup.lastWriterPerKey(rowEvents)
+            def obsFence: Map[Int, Long] =
+              graft.functions.PartitionLongAgg.metricMap(obs.get.apply("fence"))
+            val r = MergeApply.merge(table, deduped,
+              fenceDelta = obsFence, batchId = batchId, salt = cfg.salt,
+              extraMetrics = extra,
+              selection = Some(MergeApply.FileSelection(
+                Seq.empty, (0 until table.numBuckets).toSet, rowCount)))
+            val fence = obsFence
+            val rows = graft.functions.PartitionLongAgg.metricMap(obs.get.apply("perPartRows"))
+            (BatchMetrics(batchId, total, dlCount,
+              math.max(unfencedN - dlCount - ddls.length - rowCount, 0),
+              total - unfencedN, r.eventsApplied, r.tombstonesWritten, r.conflictsLww,
+              ddls.length, table.snapshot.version),
+              fence, rows)
+          }
+        timed("lineage-append")(appendLineage(table, bm, fenceDelta, perPartRows))
+        return bm
+      }
+      // barrier DDL on a fresh table: fall through to the stats path below
+    }
+
     locally {
       // ---- single per-partition stats job (counts + high-water marks +
       //      affected buckets + hit manifest files for the COW pruning) ----

@@ -159,10 +159,12 @@ object MergeApply {
   def merge(
       table: LakeTable,
       delta: DataFrame,
-      fenceDelta: Map[Int, Long],
+      // by-name: callers may derive the fence/metrics from an Observation
+      // riding the merge job itself — evaluated only AFTER the write ran
+      fenceDelta: => Map[Int, Long],
       batchId: Long = -1L,
       salt: Int = 1,
-      extraMetrics: Map[String, Long] = Map.empty,
+      extraMetrics: => Map[String, Long] = Map.empty,
       selection: Option[FileSelection] = None): MergeResult = {
     val spark = table.spark
     val snap = table.snapshot
