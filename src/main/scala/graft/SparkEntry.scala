@@ -359,6 +359,67 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"), col("cos_e4"), col("rank"))
   }
 
+  /** IVF-style ANN — the coarse-quantizer scale path next to LSH: corpus
+    * vectors are assigned to their nearest of C=16 centroid vectors (the
+    * first C corpus vectors — a deterministic bootstrap quantizer; real IVF
+    * would Lloyd-iterate, the PLUMBING — assign, probe nProbe lists, exact
+    * rerank — is identical), queries probe their top-2 centroid lists only.
+    * At 100 TB the corpus shuffles once by centroid id and each query reads
+    * ~nProbe/C of the data. Assignment/probing order by round(cos*1e9)
+    * (ties by centroid id) so the oracle ordering is engine-exact. */
+  private def qAnnIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AnnSearch
+    val nCent = 16
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      AnnSearch.l2norm(col("embedding")).as("nrm"))
+    val cents = e.filter(col("vec_id") < nCent)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
+    val cos9 = round(AnnSearch.cosineWithNorms(col("embedding"), col("cvec"),
+      col("nrm"), col("cnrm")) * 1e9).cast("long")
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos9").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"), cos9.as("cos9"))
+      .withColumn("_rn", row_number().over(wAssign))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+    val probes = assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qe"), col("qn"), col("cent_id"),
+        round(AnnSearch.cosineWithNorms(col("qe"), col("cvec"), col("qn"), col("cnrm")) * 1e9)
+          .cast("long").as("cos9"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos9").desc, col("cent_id"))))
+      .filter(col("_rn") <= 2)
+      .select(col("query_id"), col("qe"), col("qn"), col("cent_id"))
+    val cand = probes.join(assigned, "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(AnnSearch.cosineWithNorms(col("qe"), col("embedding"),
+          col("qn"), col("nrm")) * 10000).cast("long").as("cos_e4"))
+      .distinct()
+    cand.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos_e4").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: candidates share a 6-bit
+    * hyperplane bucket (the sub-quadratic gate — recall < 1 by construction,
+    * like any LSH near-dup), verified by exact cosine ≥ 0.40. */
+  private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AnnSearch
+    val bits = 6
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      AnnSearch.l2norm(col("embedding")).as("nrm"),
+      AnnSearch.hyperplaneSketch(col("embedding"), bits).as("bucket"))
+    val a = e.alias("a"); val b = e.alias("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(AnnSearch.cosineWithNorms(col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm")) * 10000).cast("long").as("cos_e4"))
+      .filter(col("cos_e4") >= 4000)
+  }
+
   // --------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -385,7 +446,9 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "dedup_simhash" -> (qDedupSimhash _),
     "text_jaccard_adjacent" -> (qTextJaccardAdjacent _),
-    "ann_lsh_topk" -> (qAnnLshTopk _))
+    "ann_lsh_topk" -> (qAnnLshTopk _),
+    "ann_ivf_topk" -> (qAnnIvfTopk _),
+    "embed_near_dup" -> (qEmbedNearDup _))
 
   // ---- generated oracle SQL for the hash-based operators (constants shared
   //      with the Spark plans via OracleHash) ----
@@ -435,12 +498,13 @@ object SparkEntry {
        |WHERE bit_count(xor(a.sketch, b.sketch)) <= $maxHamming""".stripMargin
   }
 
-  private def annLshOracleSql: String = {
+  /** sketch CTE body shared by the LSH-shaped oracles: per-vector H-bit
+    * hyperplane bucket from the same integer plane table the Spark plan bakes
+    * in. */
+  private def sqlSketchCtes(bits: Int): String = {
     import graft.functions.OracleHash
-    val bits = 8
     val planes = OracleHash.sqlLongListList(
       OracleHash.planeInts(bits, graft.functions.AnnSearch.MaxDim).map(_.take(64)))
-    val flips = (0 until bits).map(b => s"xor(bucket, ${1L << b})").mkString(", ")
     s"""WITH e AS (SELECT vec_id, embedding,
        |        sqrt(list_dot_product(embedding, embedding)) AS nrm FROM embeddings),
        |sk AS (
@@ -449,7 +513,13 @@ object SparkEntry {
        |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), i ->
        |             embedding[i] * (($planes)[q+1][i] / 100000.0 - 0.5))) > 0
        |           THEN (1::BIGINT << q) ELSE 0 END))::BIGINT AS bucket
-       |  FROM e),
+       |  FROM e)""".stripMargin
+  }
+
+  private def annLshOracleSql: String = {
+    val bits = 8
+    val flips = (0 until bits).map(b => s"xor(bucket, ${1L << b})").mkString(", ")
+    s"""${sqlSketchCtes(bits)},
        |probes AS (
        |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
        |         unnest([bucket, $flips]) AS bucket
@@ -465,10 +535,47 @@ object SparkEntry {
        |  FROM cand) WHERE rank <= 3""".stripMargin
   }
 
+  private def annIvfOracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |        sqrt(list_dot_product(embedding, embedding)) AS nrm FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM e WHERE vec_id < 16),
+      |assigned AS (
+      |  SELECT vec_id, embedding, nrm, cent_id FROM (
+      |    SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |             CAST(round(list_dot_product(e.embedding, c.cvec) / (e.nrm * c.cnrm) * 1e9) AS BIGINT) DESC,
+      |             c.cent_id) AS rn
+      |    FROM e, cents c) WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, qe, qn, cent_id FROM (
+      |    SELECT a.vec_id AS query_id, a.embedding AS qe, a.nrm AS qn, c.cent_id,
+      |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |             CAST(round(list_dot_product(a.embedding, c.cvec) / (a.nrm * c.cnrm) * 1e9) AS BIGINT) DESC,
+      |             c.cent_id) AS rn
+      |    FROM e a, cents c WHERE a.vec_id < 8) WHERE rn <= 2),
+      |cand AS (
+      |  SELECT DISTINCT p.query_id, x.vec_id AS neighbor_id,
+      |         CAST(round(list_dot_product(p.qe, x.embedding) / (p.qn * x.nrm) * 10000) AS BIGINT) AS cos_e4
+      |  FROM probes p JOIN assigned x ON x.cent_id = p.cent_id
+      |  WHERE x.vec_id <> p.query_id)
+      |SELECT query_id, neighbor_id, cos_e4, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |            ORDER BY cos_e4 DESC, neighbor_id) AS BIGINT) AS rank FROM cand)
+      |WHERE rank <= 3""".stripMargin
+
+  private def embedNearDupOracleSql: String =
+    s"""${sqlSketchCtes(6)}
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       CAST(round(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_e4
+       |FROM sk a JOIN sk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE CAST(round(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) * 10000) AS BIGINT) >= 4000""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "ann_lsh_topk" -> annLshOracleSql,
+    "ann_ivf_topk" -> annIvfOracleSql,
+    "embed_near_dup" -> embedNearDupOracleSql,
 
     "cdc_changed_fields" ->
       """SELECT user_id, event_id,

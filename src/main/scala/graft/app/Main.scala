@@ -134,7 +134,7 @@ object Main {
     val table = LakeTable.load(spark, tableDir)
     val s = table.snapshot
     println(s"table=$tableDir version=${s.version} schemaId=${s.schemaId} " +
-      s"files=${s.files.size} buckets=${s.numBuckets} rows~=${s.totalRows}")
+      s"files=${s.files.size} buckets=${s.numBuckets} rows~=${s.totalRows} gtid=${s.maxSeq}")
     println(s"fence=${s.fence.toSeq.sortBy(_._1).map { case (p, o) => s"$p:$o" }.mkString("{", ", ", "}")}")
     println(s"metrics=${s.metrics.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}")}")
     println(s"liveRows=${table.read().count()}")

@@ -287,7 +287,9 @@ object MergeApply {
         sum(col("_fUpsert")).as("upserts"),
         sum(col("_fConflict")).as("conflicts"),
         sum(col("_fDuplicate")).as("duplicates"),
-        sum(col("_fNoop")).as("noopUpdates"))
+        sum(col("_fNoop")).as("noopUpdates"),
+        // GTID analog: newest log seq now present in the table
+        max(col(LakeTable.SeqCol)).as("maxSeq"))
       write(observed.drop(flagCols: _*)
         .sortWithinPartitions(col("_bucket"), col(LakeTable.HkeyCol)))
       obs
@@ -310,7 +312,7 @@ object MergeApply {
       mm.get(name) match {
         case Some(v: Long) => v
         case Some(v: java.lang.Long) => v.longValue()
-        case _ => 0L
+        case _ => if (name == "maxSeq") -1L else 0L // max over empty = null = "no rows"
       }
     }
 
@@ -395,7 +397,8 @@ object MergeApply {
       "filesRewritten" -> sel.files.size.toLong,
       "unresolvedImageFields" -> unresolvedImageFields.size.toLong,
       "batches" -> 1L) ++ extraMetrics
-    table.commit(sel.files.map(_.path).toSet, newFiles, fenceDelta, metricsDelta, batchId)
+    table.commit(sel.files.map(_.path).toSet, newFiles, fenceDelta, metricsDelta, batchId,
+      maxSeq = metric(obs, "maxSeq"))
     MergeResult(applied, upserts, tombstones, conflicts, duplicates,
       sel.buckets.size, sel.files.size, newFiles.size)
   }

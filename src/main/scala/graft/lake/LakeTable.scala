@@ -123,7 +123,8 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
       metricsDelta: Map[String, Long],
       batchId: Long = -1L,
       newSchema: Option[TableSchema] = None,
-      ddlSeq: Long = -1L): Snapshot = {
+      ddlSeq: Long = -1L,
+      maxSeq: Long = -1L): Snapshot = {
     val cur = snap
     val schemas =
       newSchema match {
@@ -150,6 +151,7 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
       schemas = schemas,
       tsMillis = System.currentTimeMillis(),
       ddlSeq = math.max(ddlSeq, cur.ddlSeq),
+      maxSeq = math.max(maxSeq, cur.maxSeq),
       targetFileRows = cur.targetFileRows)
     LakeTable.writeSnapshotAtomic(dir, next)
     snap = next

@@ -51,6 +51,10 @@ final case class Snapshot(
       * fenced exactly like data (a retried batch skips already-applied DDL,
       * which per-op checks cannot do for add→widen→rename chains). */
     ddlSeq: Long = -1L,
+    /** GTID analog (/root/reference/cobra/cobra.go:18-20,83-85): the global
+      * log sequence number of the newest row applied into this snapshot — a
+      * single consistency token alongside the per-partition fence. */
+    maxSeq: Long = -1L,
     /** writer splits output files at this many rows (sorted by `_hkey`), so
       * each file covers a narrow key range — the knob that makes min/max
       * pruning effective. */
@@ -68,6 +72,7 @@ final case class Snapshot(
     "numBuckets" -> numBuckets.toString,
     "committedBatchId" -> committedBatchId.toString,
     "ddlSeq" -> ddlSeq.toString,
+    "maxSeq" -> maxSeq.toString,
     "targetFileRows" -> targetFileRows.toString,
     "tsMillis" -> tsMillis.toString,
     "files" -> Json.arrOf(files.sortBy(f => (f.bucket, f.minKey, f.path)).map { f =>
@@ -102,6 +107,7 @@ object Snapshot {
       schemas = Json.arr(n, "schemas").map(TableSchema.fromJsonNode),
       tsMillis = Json.long(n, "tsMillis"),
       ddlSeq = if (n.has("ddlSeq")) Json.long(n, "ddlSeq") else -1L,
+      maxSeq = if (n.has("maxSeq")) Json.long(n, "maxSeq") else -1L,
       targetFileRows = if (n.has("targetFileRows")) Json.long(n, "targetFileRows") else 1L << 20)
   }
 }
