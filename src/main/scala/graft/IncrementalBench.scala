@@ -1,0 +1,86 @@
+package graft
+
+import graft.ingest.MergeApply
+import graft.lake.LakeTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Steady-state CDC write amplification: after a bulk load, how much of the
+  * table does a small update batch rewrite? This is the metric file-level
+  * key-range manifests exist for — bucket-granularity COW rewrites every
+  * touched bucket (≈ the whole table once a batch touches ≥1 key per bucket);
+  * file-granularity rewrites only the files whose key range contains a
+  * touched key.
+  *
+  * Prints one line per batch and a JSON summary; evidence recorded in
+  * BENCH/BASELINE.md.
+  */
+object IncrementalBench {
+  def main(args: Array[String]): Unit = {
+    val nBase = if (args.nonEmpty) args(0).toLong else 2000000L
+    val keysPerBatch = if (args.length > 1) args(1).toInt else 20
+    val nBatches = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def delta(ids: Seq[Long], op: String, seqBase: Long): DataFrame = {
+      import spark.implicits._
+      ids.toDF("id").select(
+        concat(lit("org/repo-"), col("id") % 4096).as("repo"),
+        concat(lit("src/f"), col("id"), lit(".scala")).as("path"),
+        lit(op).as("op"),
+        (col("id") + seqBase).as("seq"),
+        struct(
+          concat(lit("org/repo-"), col("id") % 4096).as("repo"),
+          concat(lit("src/f"), col("id"), lit(".scala")).as("path"),
+          lit("c0").as("commit"),
+          lit("scala").as("lang"),
+          concat(lit("content-"), col("id"), lit("-"), lit(seqBase),
+            lit("x" * 120)).as("content")).as("after"))
+    }
+
+    val work = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    // targetFileRows sized so each bucket holds ~8 files (the pruning unit)
+    val table = LakeTable.create(spark, s"$work/t", numBuckets = 64,
+      targetFileRows = math.max(1024L, nBase / 64 / 8))
+    val t0 = System.nanoTime()
+    MergeApply.merge(table, delta(0L until nBase, "insert", 0L), Map.empty)
+    println(f"[incr] bulk load $nBase rows in ${(System.nanoTime() - t0) / 1e9}%.1f s; " +
+      s"files=${table.snapshot.files.size}")
+    val totalFiles = table.snapshot.files.size
+    val totalRows = table.snapshot.totalRows
+
+    val rnd = new scala.util.Random(7)
+    var fSum = 0L; var rowSum = 0L; var secSum = 0.0
+    (1 to nBatches).foreach { b =>
+      val keys = Seq.fill(keysPerBatch)(math.abs(rnd.nextLong()) % nBase)
+      val snapBefore = table.snapshot
+      val t1 = System.nanoTime()
+      val r = MergeApply.merge(table, delta(keys, "update", nBase * (b + 1)), Map.empty)
+      val sec = (System.nanoTime() - t1) / 1e9
+      val rewrittenRows = snapBefore.files.filterNot(f =>
+        table.snapshot.files.exists(_.path == f.path)).map(_.rows).sum
+      fSum += r.filesRewritten; rowSum += rewrittenRows; secSum += sec
+      println(f"[incr] batch $b%2d: keys=$keysPerBatch filesRewritten=${r.filesRewritten}%3d/" +
+        f"$totalFiles rowsRewritten=$rewrittenRows%7d/$totalRows sec=$sec%5.2f")
+    }
+    val line =
+      f"""{"baseRows":$nBase,"keysPerBatch":$keysPerBatch,"batches":$nBatches,""" +
+      f""""totalFiles":$totalFiles,"avgFilesRewritten":${fSum.toDouble / nBatches}%.1f,""" +
+      f""""avgRowsRewritten":${rowSum.toDouble / nBatches}%.0f,""" +
+      f""""writeAmplification":${rowSum.toDouble / nBatches / keysPerBatch}%.1f,""" +
+      f""""tableFractionRewritten":${rowSum.toDouble / nBatches / totalRows}%.4f,""" +
+      f""""avgSec":${secSum / nBatches}%.2f}"""
+    println(line)
+    val p = java.nio.file.Paths.get("BENCH")
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.writeString(p.resolve("incremental_last.json"), line + "\n")
+    spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+}
