@@ -71,6 +71,47 @@ class ConvergencePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("merge level under FILE-PRUNED COW: tiny files + forced strategy mix still converge") {
+    import spark.implicits._
+    for (trial <- 1 to 2) {
+      val rnd = new Random(3000L + trial)
+      val cuts = List.fill(3 + rnd.nextInt(4))(1 + rnd.nextInt(events.length - 1))
+      val bounds = (0 +: cuts.distinct.sorted :+ events.length).distinct
+      val batches = bounds.sliding(2).map { case Seq(a, b) => events.slice(a, b) }.toVector
+      val withDup = batches :+ batches(rnd.nextInt(batches.length))
+      val shuffled = rnd.shuffle(withDup)
+      // targetFileRows=16 → many small files per bucket, so every merge does
+      // real key-range pruning; alternate the strategy chooser via the hint:
+      // deltaRowsHint=-1 forces the shuffle path, a tiny hint with a large
+      // base allows broadcast — convergence must be strategy-independent
+      val table = LakeTable.create(spark, TestSpark.tmpDir("graft-prop3"),
+        numBuckets = 4, targetFileRows = 16L)
+      shuffled.zipWithIndex.foreach { case (b, i) =>
+        val delta = Dedup.lastWriterPerKey(b.toDS().toDF().filter(col("op") =!= "ddl"))
+        val sel = MergeApply.selectFiles(table, delta)
+        val forced = if (i % 2 == 0) sel.copy(deltaRowsHint = -1L) else sel
+        MergeApply.merge(table, delta, Map.empty, selection = Some(forced))
+      }
+      assert(tableState(table) === oracle, s"trial $trial (cuts=$cuts)")
+      // the REAL manifest invariant: every key lives in exactly one file
+      // (ranges MAY overlap after multi-branch merges — selection over-selects
+      // soundly; pruning quality, not correctness, degrades until compaction)
+      val dupKeys = table.readAllInternal()
+        .groupBy(col("repo"), col("path")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).count()
+      assert(dupKeys === 0L, "a key must never appear in two live files")
+      // compaction restores the disjoint sorted-run layout
+      graft.lake.Maintenance.compact(table, force = true)
+      table.snapshot.files.groupBy(_.bucket).foreach { case (bkt, fs) =>
+        fs.sortBy(_.minKey).sliding(2).foreach {
+          case Seq(x, y) => assert(x.maxKey < y.minKey, s"overlap in bucket $bkt after compaction")
+          case _ => ()
+        }
+      }
+      assert(tableState(table) === oracle, s"trial $trial post-compaction")
+    }
+  }
+
   test("sequential batching baseline") {
     import spark.implicits._
     val table = LakeTable.create(spark, TestSpark.tmpDir("graft-prop0"), numBuckets = 4)
