@@ -342,7 +342,7 @@ object SparkEntry {
     val bits = 8
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
       AnnSearch.l2norm(col("embedding")).as("nrm"),
-      AnnSearch.hyperplaneSketch(col("embedding"), bits).as("bucket"))
+      AnnSearch.hyperplaneSketch(col("embedding"), bits, AnnSearch.OracleDim).as("bucket"))
     val probes = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"),
         explode(array(col("bucket") +: (0 until bits).map(b =>
@@ -359,21 +359,27 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"), col("cos_e4"), col("rank"))
   }
 
-  /** IVF-style ANN — the coarse-quantizer scale path next to LSH: corpus
-    * vectors are assigned to their nearest of C=16 centroid vectors (the
-    * first C corpus vectors — a deterministic bootstrap quantizer; real IVF
-    * would Lloyd-iterate, the PLUMBING — assign, probe nProbe lists, exact
-    * rerank — is identical), queries probe their top-2 centroid lists only.
-    * At 100 TB the corpus shuffles once by centroid id and each query reads
-    * ~nProbe/C of the data. Assignment/probing order by round(cos*1e9)
+  /** IVF ANN with a TRAINED coarse quantizer: C=16 centroids, seeded from
+    * the first C corpus vectors and refined by 2 deterministic Lloyd
+    * iterations ([[graft.functions.AnnSearch.lloydCentroids]] — fixed-point
+    * integer means, so DuckDB re-trains to the bit-identical centroids);
+    * corpus vectors are assigned to their nearest centroid, queries probe
+    * their top-2 centroid lists only, exact cosine re-ranks within the
+    * probed lists. At 100 TB the corpus shuffles once by centroid id and
+    * each query reads ~nProbe/C of the data; C scales as a parameter
+    * (√N at real scale). Assignment/probing order by round(cos*1e9)
     * (ties by centroid id) so the oracle ordering is engine-exact. */
   private def qAnnIvfTopk(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.AnnSearch
-    val nCent = 16
+    import graft.functions.{AnnSearch, VecExprs}
+    import s.implicits._
+    val nCent = IvfC
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
       AnnSearch.l2norm(col("embedding")).as("nrm"))
-    val cents = e.filter(col("vec_id") < nCent)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
+    val trained = AnnSearch.lloydCentroids(
+      t(s, dir, "embeddings"), "vec_id", "embedding", nCent, IvfLloydIters)
+    val cents = trained.toDF("cent_id", "cvec")
+      .select(col("cent_id"), col("cvec"),
+        sqrt(VecExprs.dot(col("cvec"), col("cvec"))).as("cnrm"))
     val cos9 = round(AnnSearch.cosineWithNorms(col("embedding"), col("cvec"),
       col("nrm"), col("cnrm")) * 1e9).cast("long")
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos9").desc, col("cent_id"))
@@ -403,16 +409,37 @@ object SparkEntry {
       .filter(col("rank") <= 3)
   }
 
-  /** Embedding-cosine near-duplicate pairs: candidates share a 6-bit
-    * hyperplane bucket (the sub-quadratic gate — recall < 1 by construction,
-    * like any LSH near-dup), verified by exact cosine ≥ 0.40. */
+  /** IVF quantizer parameters, shared with the oracle SQL generator. */
+  private val IvfC = 16
+  private val IvfLloydIters = 2
+
+  /** Corpus-size-scaled sketch width for the embedding near-dup gate:
+    * bits = min(16, bitlength(max(1, N / targetBucket))) — i.e. roughly
+    * log2(N / 64), so the expected bucket size stays ~64 at ANY corpus size
+    * instead of going N²/2^bits-quadratic with a frozen width. Integer-exact
+    * (bin/length, no float log), so the oracle derives the identical width
+    * from its own count(*). */
+  private def nearDupBits(n: Long): Int =
+    math.min(16, java.lang.Long.toBinaryString(math.max(1L, n / 64L)).length)
+
+  /** Embedding-cosine near-duplicate pairs: candidates share a hyperplane
+    * bucket whose width SCALES with the corpus (see [[nearDupBits]]; the
+    * sub-quadratic gate — recall < 1 by construction, like any LSH
+    * near-dup), degenerate buckets are capped like TextDedup's, and the
+    * survivors verify by exact cosine ≥ 0.40. */
   private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.AnnSearch
-    val bits = 6
-    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+    import graft.functions.{AnnSearch, TextDedup}
+    val corpus = t(s, dir, "embeddings")
+    val bits = nearDupBits(corpus.count())
+    val e = corpus.select(col("vec_id"), col("embedding"),
       AnnSearch.l2norm(col("embedding")).as("nrm"),
-      AnnSearch.hyperplaneSketch(col("embedding"), bits).as("bucket"))
-    val a = e.alias("a"); val b = e.alias("b")
+      AnnSearch.hyperplaneSketch(col("embedding"), bits, AnnSearch.OracleDim).as("bucket"))
+    // degenerate-bucket cap: broadcast anti-join of the (tiny) oversized set,
+    // never a window over the skewed bucket key
+    val oversized = e.groupBy(col("bucket")).agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > TextDedup.DefaultBucketCap).select(col("bucket"))
+    val capped = e.join(broadcast(oversized), Seq("bucket"), "left_anti")
+    val a = capped.alias("a"); val b = capped.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(AnnSearch.cosineWithNorms(col("a.embedding"), col("b.embedding"),
@@ -500,16 +527,19 @@ object SparkEntry {
 
   /** sketch CTE body shared by the LSH-shaped oracles: per-vector H-bit
     * hyperplane bucket from the same integer plane table the Spark plan bakes
-    * in. */
-  private def sqlSketchCtes(bits: Int): String = {
-    import graft.functions.OracleHash
+    * in (both sides use exactly the first [[graft.functions.AnnSearch.OracleDim]]
+    * plane components; the Spark query raises on wider vectors). `bitsSql`
+    * may be a literal or a scalar-subquery expression (corpus-scaled width);
+    * the plane table is baked at `maxBits` rows. */
+  private def sqlSketchCtes(bitsSql: String, maxBits: Int): String = {
+    import graft.functions.{AnnSearch, OracleHash}
     val planes = OracleHash.sqlLongListList(
-      OracleHash.planeInts(bits, graft.functions.AnnSearch.MaxDim).map(_.take(64)))
+      OracleHash.planeInts(maxBits, AnnSearch.MaxDim).map(_.take(AnnSearch.OracleDim)))
     s"""WITH e AS (SELECT vec_id, embedding,
        |        sqrt(list_dot_product(embedding, embedding)) AS nrm FROM embeddings),
        |sk AS (
        |  SELECT vec_id, embedding, nrm,
-       |    list_sum(list_transform(range(0, $bits), q ->
+       |    list_sum(list_transform(range(0, $bitsSql), q ->
        |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), i ->
        |             embedding[i] * (($planes)[q+1][i] / 100000.0 - 0.5))) > 0
        |           THEN (1::BIGINT << q) ELSE 0 END))::BIGINT AS bucket
@@ -519,7 +549,7 @@ object SparkEntry {
   private def annLshOracleSql: String = {
     val bits = 8
     val flips = (0 until bits).map(b => s"xor(bucket, ${1L << b})").mkString(", ")
-    s"""${sqlSketchCtes(bits)},
+    s"""${sqlSketchCtes(bits.toString, bits)},
        |probes AS (
        |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
        |         unnest([bucket, $flips]) AS bucket
@@ -535,40 +565,78 @@ object SparkEntry {
        |  FROM cand) WHERE rank <= 3""".stripMargin
   }
 
-  private def annIvfOracleSql: String =
-    """WITH e AS (SELECT vec_id, embedding,
-      |        sqrt(list_dot_product(embedding, embedding)) AS nrm FROM embeddings),
-      |cents AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM e WHERE vec_id < 16),
-      |assigned AS (
-      |  SELECT vec_id, embedding, nrm, cent_id FROM (
-      |    SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
-      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |             CAST(round(list_dot_product(e.embedding, c.cvec) / (e.nrm * c.cnrm) * 1e9) AS BIGINT) DESC,
-      |             c.cent_id) AS rn
-      |    FROM e, cents c) WHERE rn = 1),
-      |probes AS (
-      |  SELECT query_id, qe, qn, cent_id FROM (
-      |    SELECT a.vec_id AS query_id, a.embedding AS qe, a.nrm AS qn, c.cent_id,
-      |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
-      |             CAST(round(list_dot_product(a.embedding, c.cvec) / (a.nrm * c.cnrm) * 1e9) AS BIGINT) DESC,
-      |             c.cent_id) AS rn
-      |    FROM e a, cents c WHERE a.vec_id < 8) WHERE rn <= 2),
-      |cand AS (
-      |  SELECT DISTINCT p.query_id, x.vec_id AS neighbor_id,
-      |         CAST(round(list_dot_product(p.qe, x.embedding) / (p.qn * x.nrm) * 10000) AS BIGINT) AS cos_e4
-      |  FROM probes p JOIN assigned x ON x.cent_id = p.cent_id
-      |  WHERE x.vec_id <> p.query_id)
-      |SELECT query_id, neighbor_id, cos_e4, rank FROM (
-      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-      |            ORDER BY cos_e4 DESC, neighbor_id) AS BIGINT) AS rank FROM cand)
-      |WHERE rank <= 3""".stripMargin
+  /** IVF oracle: DuckDB RE-TRAINS the quantizer — the same seed, the same 2
+    * Lloyd iterations, the same fixed-point integer means as
+    * AnnSearch.lloydCentroids — so centroids, assignments, and the final
+    * top-k agree bit-for-bit with the Spark plan. */
+  private def annIvfOracleSql: String = {
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, embedding, nrm, cent_id FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             CAST(round(list_dot_product(e.embedding, c.cvec) / (e.nrm * c.cnrm) * 1e9) AS BIGINT) DESC,
+         |             c.cent_id) AS rn
+         |    FROM e, $cents c) WHERE rn = 1)""".stripMargin
+    def lloydCte(i: Int, prevAssign: String): String =
+      s"""s$i AS (
+         |  SELECT cent_id, u.i AS i,
+         |         CAST(round(sum(CAST(round(u.x::DOUBLE * 1000000) AS BIGINT))::DOUBLE / count(*)) AS BIGINT) AS f
+         |  FROM (SELECT cent_id, unnest(list_transform(range(1, len(embedding) + 1),
+         |          i -> {'i': i, 'x': embedding[i]})) AS u FROM $prevAssign)
+         |  GROUP BY cent_id, u.i),
+         |c$i AS (SELECT cent_id, list(f / 1000000.0 ORDER BY i) AS cvec FROM s$i GROUP BY cent_id),
+         |c${i}n AS (SELECT cent_id, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnrm FROM c$i)""".stripMargin
+    val iterCtes = (1 to IvfLloydIters).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}n"
+      s"${assignCte(s"a${i - 1}", prev)},\n${lloydCte(i, s"a${i - 1}")}"
+    }.mkString(",\n")
+    val fc = s"c${IvfLloydIters}n"
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |        sqrt(list_dot_product(embedding, embedding)) AS nrm FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec,
+       |              sqrt(list_dot_product(embedding, embedding)) AS cnrm
+       |       FROM e WHERE vec_id < $IvfC),
+       |$iterCtes,
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, cent_id FROM (
+       |    SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             CAST(round(list_dot_product(e.embedding, c.cvec) / (e.nrm * c.cnrm) * 1e9) AS BIGINT) DESC,
+       |             c.cent_id) AS rn
+       |    FROM e, $fc c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, qe, qn, cent_id FROM (
+       |    SELECT a.vec_id AS query_id, a.embedding AS qe, a.nrm AS qn, c.cent_id,
+       |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |             CAST(round(list_dot_product(a.embedding, c.cvec) / (a.nrm * c.cnrm) * 1e9) AS BIGINT) DESC,
+       |             c.cent_id) AS rn
+       |    FROM e a, $fc c WHERE a.vec_id < 8) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, x.vec_id AS neighbor_id,
+       |         CAST(round(list_dot_product(p.qe, x.embedding) / (p.qn * x.nrm) * 10000) AS BIGINT) AS cos_e4
+       |  FROM probes p JOIN assigned x ON x.cent_id = p.cent_id
+       |  WHERE x.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, cos_e4, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos_e4 DESC, neighbor_id) AS BIGINT) AS rank FROM cand)
+       |WHERE rank <= 3""".stripMargin
+  }
 
-  private def embedNearDupOracleSql: String =
-    s"""${sqlSketchCtes(6)}
+  private def embedNearDupOracleSql: String = {
+    // corpus-scaled sketch width — the same integer-exact bitlength formula
+    // as nearDupBits, derived from the oracle's own count(*)
+    val bitsSql =
+      "(SELECT least(16, length(bin(greatest(1, count(*) // 64))))::INT FROM embeddings)"
+    s"""${sqlSketchCtes(bitsSql, 16)},
+       |capped AS (
+       |  SELECT * FROM sk
+       |  QUALIFY count(*) OVER (PARTITION BY bucket) <= ${graft.functions.TextDedup.DefaultBucketCap})
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |       CAST(round(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_e4
-       |FROM sk a JOIN sk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE CAST(round(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) * 10000) AS BIGINT) >= 4000""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashOracleSql,

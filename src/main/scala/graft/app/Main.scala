@@ -101,6 +101,12 @@ object Main {
       println(s"compacted: buckets=${r.bucketsCompacted} tombstonesDropped=${r.tombstonesDropped}")
       report(spark, args(1))
 
+    case "rebucket" =>
+      val table = LakeTable.load(spark, args(1))
+      val r = graft.lake.Maintenance.rebucket(table, args(2).toInt)
+      println(s"rebucketed: ${r.oldBuckets} -> ${r.newBuckets} buckets, ${r.filesWritten} files")
+      report(spark, args(1))
+
     case "expire" =>
       val table = LakeTable.load(spark, args(1))
       val keep = if (args.length > 2) args(2).toInt else 2
@@ -149,6 +155,7 @@ object Main {
       |  replay  <logDir> <tableDir>
       |  report  <tableDir>
       |  compact <tableDir> [tombstoneHorizonSeq]
+      |  rebucket <tableDir> <newBuckets>
       |  expire  <tableDir> [keepSnapshots]
       |  verify  <logDir> <tableDir>""".stripMargin)
 }

@@ -57,17 +57,82 @@ object AnnSearch {
   /** Max vector length supported by the baked hyperplane table. */
   val MaxDim = 256
 
+  /** Plane width the generated DuckDB oracle bakes (SQL literals stay small);
+    * oracle-checked queries pass this as `planeDim` so Spark provably uses
+    * the identical plane table — and fail LOUDLY on wider vectors instead of
+    * silently diverging. */
+  val OracleDim = 64
+
   /** H-bit random-hyperplane sign sketch. Plane q's component i is
     * (planeInts(q)(i)/100000 − 0.5) — a fixed integer table, identical in the
     * Spark plan and the SQL oracle. Each plane projection is one codegen'd
     * [[VecExprs.VecDot]] against a literal double array (same left-to-right
-    * IEEE accumulation as the oracle's list_sum). */
-  def hyperplaneSketch(vec: Column, bits: Int): Column = {
+    * IEEE accumulation as the oracle's list_sum). A vector longer than
+    * `planeDim` raises at runtime: VecDot's min-length contract would
+    * otherwise silently truncate the projection. */
+  def hyperplaneSketch(vec: Column, bits: Int, planeDim: Int = MaxDim): Column = {
+    require(planeDim > 0 && planeDim <= MaxDim, s"planeDim must be in (0, $MaxDim]")
     val planes = OracleHash.planeInts(bits, MaxDim)
-      .map(row => typedlit(row.map(v => v / 100000.0 - 0.5)))
-    (0 until bits).map { q =>
+      .map(row => typedlit(row.take(planeDim).map(v => v / 100000.0 - 0.5)))
+    val sk = (0 until bits).map { q =>
       when(VecExprs.dot(vec, planes(q)) > 0, lit(1L << q)).otherwise(lit(0L))
     }.reduce(_ + _)
+    when(size(vec) <= planeDim, sk)
+      .otherwise(raise_error(concat(
+        lit(s"embedding dim "), size(vec).cast("string"),
+        lit(s" exceeds the baked hyperplane width $planeDim"))))
+  }
+
+  /** Deterministic Lloyd (k-means) training for the IVF coarse quantizer.
+    *
+    * Seed = the first `c` corpus vectors by id; `iters` FIXED iterations.
+    * Assignment ranks by round(cos·1e9) (ties by cent_id) and new centroid
+    * components are FIXED-POINT means — per-member contributions are rounded
+    * to 1e-6 units as integers, summed (integer addition commutes, so the
+    * result is independent of aggregation order), divided, and re-rounded —
+    * which makes the trained centroids bit-reproducible in ANY engine,
+    * including the DuckDB oracle, with no constraint on row order.
+    *
+    * The driver-side collect is C×dim aggregated statistics per iteration
+    * (like an Iceberg stats read), never corpus data.
+    */
+  def lloydCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      c: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def roundAway(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    val e = corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("nrm"))
+    var cents: Seq[(Long, Seq[Double])] = corpus
+      .filter(col(idCol) < c)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    for (_ <- 0 until iters) {
+      val cdf = cents.toDF("cent_id", "cvec")
+        .select(col("cent_id"), col("cvec"),
+          sqrt(VecExprs.dot(col("cvec"), col("cvec"))).as("cnrm"))
+      val w = Window.partitionBy(col("vid")).orderBy(col("cos9").desc, col("cent_id"))
+      val assigned = e.crossJoin(broadcast(cdf))
+        .select(col("vid"), col("v"), col("cent_id"),
+          round(VecExprs.dot(col("v"), col("cvec")) / (col("nrm") * col("cnrm")) * 1e9)
+            .cast("long").as("cos9"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+      val sums = assigned
+        .select(col("cent_id"), posexplode(col("v")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(sum(round(col("col").cast("double") * 1e6).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      cents = sums.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1))
+          .map(r => roundAway(r.getLong(2).toDouble / r.getLong(3)) / 1e6).toSeq
+      }.toSeq.sortBy(_._1)
+    }
+    cents
   }
 
   /** LSH-bucketed ANN: candidates share a sketch bucket (multi-probe: the

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for large text corpora — fully declarative
@@ -27,6 +26,24 @@ object TextDedup {
     * degenerate — near-dup pairs in a boilerplate-heavy corpus still meet in
     * their non-boilerplate bands. */
   val DefaultBucketCap = 2000
+
+  /** Drop rows belonging to buckets larger than `cap`.
+    *
+    * NOT a window over the bucket key: `count().over(partitionBy(bucket))`
+    * would first MATERIALIZE the degenerate bucket in one task's window
+    * buffer — the exact skew hotspot the cap exists to prevent. Instead the
+    * (tiny, by definition) set of oversized bucket keys is found with a
+    * map-side-combining groupBy and anti-joined back as a broadcast — the
+    * big side never shuffles on the skewed key at all. */
+  private def dropOversizedBuckets(
+      df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    val oversized = df.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > cap)
+      .select(keyCols: _*)
+    df.join(broadcast(oversized), keys, "left_anti")
+  }
 
   /** Word n-gram shingles of a text column (array of strings). */
   def shingles(text: Column, n: Int): Column = {
@@ -91,10 +108,7 @@ object TextDedup {
           b => concat_ws("|", b.cast("string"), concat_ws(",",
             transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
               x => x.cast("string")))))).as("bucket"))
-      val capped = banded
-        .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-        .filter(col("_bsz") <= bucketCap)
-        .drop("_bsz")
+      val capped = dropOversizedBuckets(banded, Seq("bucket"), bucketCap)
       val a = capped.alias("a")
       val b = capped.alias("b")
       val est = VecExprs.eqCount(col("a.sig"), col("b.sig")).cast("double") / lit(k)
@@ -147,10 +161,7 @@ object TextDedup {
       val blocked = sk.select(col("doc"), col("sketch"),
         posexplode(array(bandExprs: _*)))
         .withColumnRenamed("pos", "q").withColumnRenamed("col", "block")
-      val capped = blocked
-        .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("q"), col("block"))))
-        .filter(col("_bsz") <= bucketCap)
-        .drop("_bsz")
+      val capped = dropOversizedBuckets(blocked, Seq("q", "block"), bucketCap)
       val a = capped.alias("a"); val b = capped.alias("b")
       val pairs = a.join(b, col("a.q") === col("b.q") && col("a.block") === col("b.block") &&
           col("a.doc") < col("b.doc"))

@@ -77,6 +77,83 @@ object Ingest {
     StructField("conflictsLww", LongType),
     StructField("deadLetters", LongType)))
 
+  // ---------------------------------------------------------------- pending
+  // Cross-batch DDL ordering (SURVEY §4.3.3, VERDICT r2 #5): a row event can
+  // arrive a micro-batch BEFORE the DDL that defines one of its image columns
+  // (partitions of the source are mutually unordered). Silently dropping the
+  // field would lose data the day images carry evolved columns — instead the
+  // WHOLE row is held back in a durable side store and re-applied once the
+  // schema catches up. Holding the whole row (not just the field) matters:
+  // a half-applied row could not be re-applied later, because its seq would
+  // compare as a duplicate under LWW.
+  //
+  // Convergence stays exact because application order is immaterial (LWW +
+  // tombstones, ConvergencePropertySpec); exactly-once degrades gracefully to
+  // at-least-once for held rows (re-application is neutralized as duplicates).
+
+  private def pendingRoot(table: LakeTable): java.nio.file.Path =
+    java.nio.file.Paths.get(table.dir, "_pending")
+
+  /** Condition marking a row as NOT applicable under the current schema: a
+    * non-null value in an image field the schema cannot resolve. */
+  private def holdCondition(unresolved: Set[String]): org.apache.spark.sql.Column =
+    unresolved.toSeq.sorted.map(f => col(s"after.$f").isNotNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+  /** Split `seg` into (apply-now, held-back-count); held rows are persisted
+    * under `_pending/batch-<id>-seg<k>` (overwritten on a foreachBatch retry —
+    * exactly-once for the side store like dead letters). */
+  private def holdBack(table: LakeTable, seg: DataFrame, imageFields: Set[String],
+      batchId: Long, segIdx: Int): (DataFrame, Long) = {
+    val unresolved = MergeApply.bindImageFields(table.snapshot, imageFields)._2
+    if (unresolved.isEmpty) return (seg, 0L)
+    val cond = holdCondition(unresolved)
+    val held = seg.filter(cond)
+    val n = held.count()
+    if (n == 0L) return (seg, 0L)
+    val name =
+      if (batchId >= 0) s"batch-$batchId-seg$segIdx"
+      else s"adhoc-${java.util.UUID.randomUUID().toString.take(8)}"
+    held.write.mode(SaveMode.Overwrite)
+      .parquet(pendingRoot(table).resolve(name).toString)
+    (seg.filter(!cond), n)
+  }
+
+  /** Re-apply pending rows whose image fields the (possibly just-evolved)
+    * schema now resolves; consolidate the rest. Crash-ordering: the retained
+    * remainder is rewritten FIRST, then the resolvable rows merge, then the
+    * drained dirs are deleted — every crash window re-applies rows (converges
+    * under LWW) rather than losing them. Returns rows re-applied. */
+  def drainPending(table: LakeTable): Long = {
+    import java.nio.file.Files
+    val root = pendingRoot(table)
+    if (!Files.isDirectory(root)) return 0L
+    val subdirs = graft.lake.LakeTable.listDir(root).filter(Files.isDirectory(_))
+    if (subdirs.isEmpty) return 0L
+    val spark = table.spark
+    val all = subdirs
+      .map(d => spark.read.parquet(d.toString))
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val imageFields: Set[String] = all.schema("after").dataType match {
+      case s: StructType => s.fieldNames.toSet
+      case _ => Set.empty
+    }
+    val unresolved = MergeApply.bindImageFields(table.snapshot, imageFields)._2
+    val cond = holdCondition(unresolved)
+    val resolvable = all.filter(!cond)
+    val nResolvable = resolvable.count()
+    val retained = all.filter(cond)
+    val nRetained = retained.count()
+    if (nRetained > 0)
+      retained.write.mode(SaveMode.Overwrite).parquet(root.resolve(
+        s"retained-${java.util.UUID.randomUUID().toString.take(8)}").toString)
+    if (nResolvable > 0)
+      MergeApply.merge(table, Dedup.lastWriterPerKey(resolvable), Map.empty,
+        extraMetrics = Map("pendingDrained" -> nResolvable))
+    subdirs.foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(d.toFile))
+    nResolvable
+  }
+
   /** Apply one batch of change events. Idempotent under re-delivery:
     * a batchId at or below the committed one is skipped wholesale (streaming
     * retry), and per-row offsets at or below the fence are skipped (replay
@@ -162,7 +239,9 @@ object Ingest {
               sum(when(isLiveRow, 1L).otherwise(0L)).as("n")).collect()
             val fence = f.map(r => r.getInt(0) -> r.getLong(1)).toMap
             val rows = f.map(r => r.getInt(0) -> (if (r.isNullAt(2)) 0L else r.getLong(2))).toMap
-            table.commit(Set.empty, Seq.empty, fence, extra + ("batches" -> 1L), batchId)
+            // fence-only commit is snapshot-independent — pure re-commit on a race
+            graft.lake.LakeTable.withCommitRetry(table)(
+              table.commit(Set.empty, Seq.empty, fence, extra + ("batches" -> 1L), batchId))
             (BatchMetrics(batchId, total, dlCount,
               math.max(unfencedN - dlCount - ddls.length - rowCount, 0),
               total - unfencedN, 0, 0, 0, ddls.length, table.snapshot.version),
@@ -175,26 +254,45 @@ object Ingest {
             val observed = cached.observe(obs,
               graft.functions.PartitionLongAgg.partitionMax(col("partition"), col("offset")).as("fence"),
               graft.functions.PartitionLongAgg.partitionSum(col("partition"), lit(1L)).as("perPartRows"))
-            val rowEvents = observed.filter(unfenced && err.isNull && isRowOp && passes)
-            val deduped =
-              if (cfg.saltedDedup > 1) Dedup.lastWriterPerKeySalted(rowEvents, cfg.saltedDedup)
-              else Dedup.lastWriterPerKey(rowEvents)
+            val rowEvents0 = observed.filter(unfenced && err.isNull && isRowOp && passes)
+            // rows whose image fields outran their DDL wait in _pending
+            val (rowEvents, heldN) = holdBack(table, rowEvents0, imageFields, batchId, 0)
             def obsFence: Map[Int, Long] =
               graft.functions.PartitionLongAgg.metricMap(obs.get.apply("fence"))
-            val r = MergeApply.merge(table, deduped,
-              fenceDelta = obsFence, batchId = batchId, salt = cfg.salt,
-              extraMetrics = extra,
-              selection = Some(MergeApply.FileSelection(
-                Seq.empty, (0 until table.numBuckets).toSet, rowCount)))
-            val fence = obsFence
-            val rows = graft.functions.PartitionLongAgg.metricMap(obs.get.apply("perPartRows"))
-            (BatchMetrics(batchId, total, dlCount,
-              math.max(unfencedN - dlCount - ddls.length - rowCount, 0),
-              total - unfencedN, r.eventsApplied, r.tombstonesWritten, r.conflictsLww,
-              ddls.length, table.snapshot.version),
-              fence, rows)
+            if (heldN == rowCount) {
+              // EVERY live row was held back: no merge (an all-empty observed
+              // merge risks AQE pruning the metrics node); the hold-back count
+              // job already ran the observed scan, so the fence is available
+              val fence = obsFence
+              val rows = graft.functions.PartitionLongAgg.metricMap(obs.get.apply("perPartRows"))
+              graft.lake.LakeTable.withCommitRetry(table)(table.commit(
+                Set.empty, Seq.empty, fence,
+                extra + ("batches" -> 1L, "pendingHeldBack" -> heldN), batchId))
+              (BatchMetrics(batchId, total, dlCount,
+                math.max(unfencedN - dlCount - ddls.length - rowCount, 0),
+                total - unfencedN, 0, 0, 0, ddls.length, table.snapshot.version),
+                fence, rows)
+            } else {
+              val deduped =
+                if (cfg.saltedDedup > 1) Dedup.lastWriterPerKeySalted(rowEvents, cfg.saltedDedup)
+                else Dedup.lastWriterPerKey(rowEvents)
+              val r = MergeApply.merge(table, deduped,
+                fenceDelta = obsFence, batchId = batchId, salt = cfg.salt,
+                extraMetrics =
+                  if (heldN > 0) extra + ("pendingHeldBack" -> heldN) else extra,
+                selection = Some(MergeApply.FileSelection(
+                  Seq.empty, (0 until table.numBuckets).toSet, rowCount - heldN)))
+              val fence = obsFence
+              val rows = graft.functions.PartitionLongAgg.metricMap(obs.get.apply("perPartRows"))
+              (BatchMetrics(batchId, total, dlCount,
+                math.max(unfencedN - dlCount - ddls.length - rowCount, 0),
+                total - unfencedN, r.eventsApplied, r.tombstonesWritten, r.conflictsLww,
+                ddls.length, table.snapshot.version),
+                fence, rows)
+            }
           }
         timed("lineage-append")(appendLineage(table, bm, fenceDelta, perPartRows))
+        drainPending(table)
         return bm
       }
       // barrier DDL on a fresh table: fall through to the stats path below
@@ -214,9 +312,13 @@ object Ingest {
         sum(when(unfenced && err.isNull && col("op") === Ops.Ddl, 1L).otherwise(0L)).as("nddl"),
         sum(when(isLiveRow, 1L).otherwise(0L)).as("nrows"),
         collect_set(when(isLiveRow, bucketOf)).as("buckets"))
-      // file hits ride the same pass when the table has files to prune
+      // file hits ride the same pass when the manifest is small enough for
+      // the plan-literal lookup; a large manifest (10^5+ files at 100 TB)
+      // goes through a SECOND narrow job with a broadcast range join instead
+      // — plan size must stay O(1) in the file count
+      val literalHits = snap0.files.nonEmpty && MergeApply.useLiteralManifest(snap0)
       val aggs =
-        if (snap0.files.isEmpty) baseAggs
+        if (!literalHits) baseAggs
         else baseAggs :+ collect_set(
           when(isLiveRow, MergeApply.fileHitExpr(snap0, bucketOf, hkeyOf))).as("hits")
       val stats = timed("stats-job")(cached.groupBy(col("partition"))
@@ -234,33 +336,53 @@ object Ingest {
         stats.flatMap(r => r.getSeq[Int](7)).toSet
       val hitFiles: Seq[graft.lake.DataFile] =
         if (snap0.files.isEmpty) Seq.empty
-        else stats.flatMap(_.getSeq[scala.collection.Seq[Int]](8).flatten)
-          .distinct.sorted.map(snap0.files)
+        else if (literalHits)
+          stats.flatMap(_.getSeq[scala.collection.Seq[Int]](8).flatten)
+            .distinct.sorted.map(snap0.files)
+        else
+          MergeApply.fileHitsDF(snap0,
+            cached.filter(unfenced && err.isNull && isRowOp && passes),
+            bucketOf, hkeyOf)
+            .collect().map(_.getInt(0)).sorted.toSeq.map(snap0.files)
 
       if (dlCount > 0) appendDeadLetters(table, cached.filter(unfenced && err.isNotNull), batchId)
 
       val rowEvents = cached.filter(unfenced && err.isNull && isRowOp && passes)
 
       var applied = 0L; var tombstones = 0L; var conflicts = 0L
+      var heldTotal = 0L; var segIdx = 0
+
+      val imageFieldsStats: Set[String] = cached.schema("after").dataType match {
+        case s: StructType => s.fieldNames.toSet
+        case _ => Set.empty
+      }
 
       def mergeSegment(seg: DataFrame, fence: Map[Int, Long], isLast: Boolean,
           wholeBatch: Boolean): Unit = {
+        // cross-batch DDL ordering: rows whose image fields the CURRENT
+        // schema (as of this segment) cannot resolve are held back durably
+        val (segLive, heldN) = holdBack(table, seg, imageFieldsStats, batchId, segIdx)
+        segIdx += 1; heldTotal += heldN
         val deduped =
-          if (cfg.saltedDedup > 1) Dedup.lastWriterPerKeySalted(seg, cfg.saltedDedup)
-          else Dedup.lastWriterPerKey(seg)
+          if (cfg.saltedDedup > 1) Dedup.lastWriterPerKeySalted(segLive, cfg.saltedDedup)
+          else Dedup.lastWriterPerKey(segLive)
         // the stats pass discovered buckets/files for the WHOLE batch; that
-        // selection is exact only for the undivided batch. A DDL-split
-        // segment must discover its own selection (merge's fallback pass) or
-        // every segment would copy-on-write-rewrite every file the batch
-        // touches.
+        // selection is exact only for the undivided batch (and only when no
+        // rows were held back). A DDL-split segment must discover its own
+        // selection (merge's fallback pass) or every segment would
+        // copy-on-write-rewrite every file the batch touches.
         val selection =
-          if (!wholeBatch) None
+          if (!wholeBatch || heldN > 0) None
           else Some(MergeApply.FileSelection(hitFiles, affectedBuckets, rowCount))
+        val extras =
+          if (!isLast) Map.empty[String, Long]
+          else {
+            val m = Map("deadLetters" -> dlCount, "eventsSeen" -> total)
+            if (heldTotal > 0) m + ("pendingHeldBack" -> heldTotal) else m
+          }
         val r = MergeApply.merge(table, deduped, fence,
           batchId = if (isLast) batchId else -1L, salt = cfg.salt,
-          extraMetrics =
-            if (isLast) Map("deadLetters" -> dlCount, "eventsSeen" -> total)
-            else Map.empty,
+          extraMetrics = extras,
           selection = selection)
         applied += r.eventsApplied; tombstones += r.tombstonesWritten
         conflicts += r.conflictsLww
@@ -284,17 +406,13 @@ object Ingest {
       // costs a full scan+dedup+merge PER SEGMENT, so recognizing commuting
       // DDLs keeps a schema-evolving replay at O(one merge) instead of
       // O(#DDLs) merges.
-      val imageFields: Set[String] = cached.schema("after").dataType match {
-        case s: StructType => s.fieldNames.toSet
-        case _ => Set.empty
-      }
       def isBarrier(ddl: Row): Boolean = {
         def s(name: String): String = {
           val i = ddl.fieldIndex(name)
           if (ddl.isNullAt(i)) null else ddl.getString(i)
         }
-        imageFields.contains(s("column")) ||
-          (s("kind") == "rename_column" && imageFields.contains(s("newName")))
+        imageFieldsStats.contains(s("column")) ||
+          (s("kind") == "rename_column" && imageFieldsStats.contains(s("newName")))
       }
 
       if (ddls.isEmpty) {
@@ -325,6 +443,7 @@ object Ingest {
         math.max(unfencedN - dlCount - ddlCount - rowCount, 0),
         total - unfencedN, applied, tombstones, conflicts, ddls.length, snap1.version)
       timed("lineage-append")(appendLineage(table, bm, fenceDelta, perPartRows))
+      drainPending(table)
       bm
     }
   }
@@ -341,7 +460,12 @@ object Ingest {
     * line of defense for out-of-band schema edits: a DDL whose effect is
     * already present is a no-op, a conflicting one dead-letters.
     */
-  private def applyDdl(table: LakeTable, ddlSeq: Long, ddl: Row): Unit = {
+  private def applyDdl(table: LakeTable, ddlSeq: Long, ddl: Row): Unit =
+    // schema-only commits retry on version races (checks below are idempotent
+    // and re-read the refreshed schema)
+    graft.lake.LakeTable.withCommitRetry(table)(applyDdlOnce(table, ddlSeq, ddl))
+
+  private def applyDdlOnce(table: LakeTable, ddlSeq: Long, ddl: Row): Unit = {
     def s(name: String): String = {
       val i = ddl.fieldIndex(name)
       if (ddl.isNullAt(i)) null else ddl.getString(i)

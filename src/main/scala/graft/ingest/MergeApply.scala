@@ -1,6 +1,6 @@
 package graft.ingest
 
-import graft.lake.{DataFile, LakeTable, Snapshot, TableSchema}
+import graft.lake.{CommitConflictException, DataFile, LakeTable, Snapshot, TableSchema}
 import graft.model.Ops
 import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
@@ -67,6 +67,21 @@ object MergeApply {
       println(f"[prof-merge] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
 
+  /** daemon pool for observation reads (bounded; see metric()). */
+  private lazy val metricPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(
+        (r: Runnable) => { val t = new Thread(r, "merge-metric"); t.setDaemon(true); t }))
+
+  /** Strategy-3 planning mutates a session-global conf
+    * (requireAllClusterKeysForCoPartition) with scoped set-and-restore; two
+    * concurrent merges on the SAME SparkSession must not interleave the
+    * set/restore. Serialized per session. */
+  private val planLocks =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, Object]()
+  private def planLock(spark: org.apache.spark.sql.SparkSession): Object =
+    planLocks.computeIfAbsent(spark, _ => new Object)
+
   final case class MergeResult(
       eventsApplied: Long,
       upserts: Long,
@@ -79,8 +94,14 @@ object MergeApply {
 
   /** Which manifest files a delta can touch, plus sizing stats for the
     * strategy choice. Produced by [[selectFiles]] or piggybacked on the
-    * caller's stats pass (Ingest). */
-  final case class FileSelection(files: Seq[DataFile], buckets: Set[Int], deltaRowsHint: Long)
+    * caller's stats pass (Ingest).
+    * @param deltaBytesHint observed content bytes of the delta's after-images
+    *        (-1 = unknown) — the broadcast-path size gate (a row-count gate
+    *        alone lets a 100k-row delta of large blobs build a multi-GB
+    *        broadcast). */
+  final case class FileSelection(
+      files: Seq[DataFile], buckets: Set[Int], deltaRowsHint: Long,
+      deltaBytesHint: Long = -1L)
 
   /** Max delta rows for the broadcast-incremental path. ~100k rows of
     * (key + 160B content) ≈ 25 MB broadcast — comfortably inside executor
@@ -88,11 +109,71 @@ object MergeApply {
     * better plan anyway (delta ≈ base). */
   val BroadcastDeltaMaxRows = 100000L
 
+  /** Max ESTIMATED delta bytes for the broadcast path (content bytes + fixed
+    * per-row overhead) — autoBroadcastJoinThreshold-style semantics; above it
+    * the bucket-aligned shuffle is used regardless of row count. */
+  val BroadcastDeltaMaxBytes = 64L << 20
+
+  /** Estimated broadcast size of a delta: observed content bytes (when the
+    * selection pass measured them) plus a fixed per-row envelope. Unknown
+    * content bytes fall back to a conservative per-row guess. */
+  def estimatedDeltaBytes(sel: FileSelection): Long =
+    if (sel.deltaBytesHint >= 0) sel.deltaBytesHint + sel.deltaRowsHint * 128L
+    else sel.deltaRowsHint * 512L
+
+  /** Observed content-byte expression for a delta's after-image (the size
+    * gate's input): octet_length of every string field of `after`, summed.
+    * Null-safe; non-string fields count a fixed 16 bytes. */
+  def deltaBytesExpr(delta: DataFrame): Column =
+    delta.schema("after").dataType match {
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.map { f =>
+          f.dataType match {
+            case org.apache.spark.sql.types.StringType =>
+              coalesce(octet_length(col(s"after.${f.name}")).cast("long"), lit(0L))
+            case _ => lit(16L)
+          }
+        }.reduceOption(_ + _).getOrElse(lit(0L))
+      case _ => lit(0L)
+    }
+
+  /** Above this manifest size the per-row literal-map [[fileHitExpr]] is
+    * abandoned for a broadcast-joined lookup ([[fileHitsDF]]): a typedlit over
+    * 10^5-10^6 manifest entries bloats every plan that embeds it (driver OOM
+    * risk at 100 TB); a broadcast LocalRelation costs one tiny extra join and
+    * keeps the plan tree O(1). */
+  val LiteralManifestMaxFiles = 4096
+
+  def useLiteralManifest(snap: Snapshot): Boolean =
+    snap.files.size <= LiteralManifestMaxFiles
+
+  /** The manifest as a broadcastable lookup table (bucket, minKey, maxKey,
+    * file index). Rows live in a LocalRelation — compact binary data, not
+    * expression-tree nodes, so plan size stays flat at any manifest size. */
+  def manifestDF(spark: org.apache.spark.sql.SparkSession, snap: Snapshot): DataFrame = {
+    import spark.implicits._
+    snap.files.zipWithIndex
+      .map { case (f, i) => (f.bucket, f.minKey, f.maxKey, i) }
+      .toDF("_mb", "_mmin", "_mmax", "_midx")
+  }
+
+  /** Manifest-file indices hit by `keys` rows, via broadcast range join —
+    * the large-manifest replacement for [[fileHitExpr]]. `keys` must expose
+    * the delta's (repo, path); the hit set is tiny by construction (bounded
+    * by the manifest), so the distinct is a cheap partial aggregation. */
+  def fileHitsDF(snap: Snapshot, keys: DataFrame, bucket: Column, hkey: Column): DataFrame = {
+    val m = manifestDF(keys.sparkSession, snap)
+    keys.select(bucket.as("_b"), hkey.as("_hk"))
+      .join(broadcast(m),
+        col("_b") === col("_mb") && col("_hk") >= col("_mmin") && col("_hk") <= col("_mmax"))
+      .select(col("_midx"))
+      .distinct()
+  }
+
   /** Per-row file-hit expression: array of manifest-file indices whose
     * (bucket, key-range) can contain this row's key. The manifest rides the
-    * plan as a literal map — fine to ~10^4 files; at larger manifests this
-    * becomes a broadcast-joined lookup table instead (same shape, one more
-    * tiny join). */
+    * plan as a literal map — used only up to [[LiteralManifestMaxFiles]];
+    * larger manifests go through [[fileHitsDF]]'s broadcast-joined lookup. */
   def fileHitExpr(snap: Snapshot, bucket: Column, hkey: Column): Column = {
     val ranges: Map[Int, Seq[(Long, Long, Int)]] =
       snap.files.zipWithIndex.groupBy(_._1.bucket).map { case (b, fs) =>
@@ -131,19 +212,35 @@ object MergeApply {
   def selectFiles(table: LakeTable, delta: DataFrame): FileSelection = {
     val snap = table.snapshot
     val bucketCol = table.bucketExpr(col("repo"), col("path"))
+    val hkeyCol = table.hkeyExpr(col("repo"), col("path"))
     if (snap.files.isEmpty) {
-      val rows = delta.groupBy(bucketCol.as("_b")).agg(count(lit(1)).as("n")).collect()
-      FileSelection(Seq.empty, rows.map(_.getInt(0)).toSet, rows.map(_.getLong(1)).sum)
-    } else {
-      val hkeyCol = table.hkeyExpr(col("repo"), col("path"))
+      val rows = delta.groupBy(bucketCol.as("_b"))
+        .agg(count(lit(1)).as("n"), sum(deltaBytesExpr(delta)).as("bytes")).collect()
+      FileSelection(Seq.empty, rows.map(_.getInt(0)).toSet, rows.map(_.getLong(1)).sum,
+        rows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum)
+    } else if (useLiteralManifest(snap)) {
       val rows = delta
-        .select(bucketCol.as("_b"), fileHitExpr(snap, bucketCol, hkeyCol).as("_hits"))
+        .select(bucketCol.as("_b"), fileHitExpr(snap, bucketCol, hkeyCol).as("_hits"),
+          deltaBytesExpr(delta).as("_bytes"))
         .groupBy(col("_b"))
-        .agg(count(lit(1)).as("n"), collect_set(col("_hits")).as("hs"))
+        .agg(count(lit(1)).as("n"), collect_set(col("_hits")).as("hs"),
+          sum(col("_bytes")).as("bytes"))
         .collect()
       val idxs = rows.flatMap(_.getSeq[scala.collection.Seq[Int]](2).flatten).distinct.sorted
       FileSelection(idxs.map(snap.files), rows.map(_.getInt(0)).toSet,
-        rows.map(_.getLong(1)).sum)
+        rows.map(_.getLong(1)).sum,
+        rows.map(r => if (r.isNullAt(3)) 0L else r.getLong(3)).sum)
+    } else {
+      // large manifest: per-bucket counts in one narrow job, hit files via
+      // the broadcast range join (two slim scans beat a 10^5-entry plan
+      // literal in every dimension that matters at 100 TB)
+      val rows = delta.groupBy(bucketCol.as("_b"))
+        .agg(count(lit(1)).as("n"), sum(deltaBytesExpr(delta)).as("bytes")).collect()
+      val idxs = fileHitsDF(snap, delta, bucketCol, hkeyCol)
+        .collect().map(_.getInt(0)).sorted.toSeq
+      FileSelection(idxs.map(snap.files), rows.map(_.getInt(0)).toSet,
+        rows.map(_.getLong(1)).sum,
+        rows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum)
     }
   }
 
@@ -166,6 +263,38 @@ object MergeApply {
       salt: Int = 1,
       extraMetrics: => Map[String, Long] = Map.empty,
       selection: Option[FileSelection] = None): MergeResult = {
+    // Optimistic-concurrency retry (Iceberg semantics): losing a snapshot
+    // version race to a concurrent committer (compaction, rebucket, another
+    // writer) re-runs the merge against the REFRESHED snapshot — the passed-in
+    // selection is stale after a conflict (the manifest changed), so retries
+    // re-select. Value-correct because the delta is re-derivable and LWW
+    // convergence is order-independent.
+    var attempt = 0
+    var sel = selection
+    while (true) {
+      try return mergeOnce(table, delta, fenceDelta, batchId, salt, extraMetrics, sel)
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt >= MaxCommitAttempts) throw e
+          table.refresh()
+          sel = None
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Bounded optimistic-retry budget for snapshot version races. */
+  val MaxCommitAttempts = 5
+
+  private def mergeOnce(
+      table: LakeTable,
+      delta: DataFrame,
+      fenceDelta: => Map[Int, Long],
+      batchId: Long,
+      salt: Int,
+      extraMetrics: => Map[String, Long],
+      selection: Option[FileSelection]): MergeResult = {
     val spark = table.spark
     val snap = table.snapshot
     val sel = selection.getOrElse(timed("select-files")(selectFiles(table, delta)))
@@ -196,6 +325,7 @@ object MergeApply {
 
     val useBroadcast = sel.files.nonEmpty &&
       sel.deltaRowsHint >= 0 && sel.deltaRowsHint <= BroadcastDeltaMaxRows &&
+      estimatedDeltaBytes(sel) <= BroadcastDeltaMaxBytes &&
       sel.files.iterator.map(_.rows).sum > 2 * sel.deltaRowsHint
 
     val commitDir = table.newCommitDataDir()
@@ -216,8 +346,15 @@ object MergeApply {
     // key matched) is replaced by an empty relation INCLUDING its
     // CollectMetrics node, and Observation.get then blocks forever.
     val flagCols = Seq("_fApplied", "_fTombstone", "_fUpsert",
-      "_fConflict", "_fDuplicate", "_fNoop")
+      "_fConflict", "_fDuplicate", "_fNoop", "_fUnres")
     def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+
+    // A row LOSES data only if an unresolvable image field carries a non-null
+    // value (Ingest's hold-back removes such rows before merge; this metric
+    // is the last-line detector for direct callers/backfills).
+    def unresValue(fieldOf: String => Column): Column =
+      unresolvedImageFields.toSeq.sorted.map(f => fieldOf(f).isNotNull)
+        .reduceOption(_ || _).getOrElse(lit(false))
 
     /** delta row becomes a fresh row (insert or absorbing tombstone). */
     def insertProjection(d: DataFrame): DataFrame = {
@@ -233,7 +370,8 @@ object MergeApply {
       } ++ Seq(col("seq").as(LakeTable.SeqCol), isDel.as(LakeTable.DeletedCol),
         lit(1L).as("_fApplied"), flag(isDel).as("_fTombstone"),
         flag(!isDel).as("_fUpsert"), lit(0L).as("_fConflict"),
-        lit(0L).as("_fDuplicate"), lit(0L).as("_fNoop"))
+        lit(0L).as("_fDuplicate"), lit(0L).as("_fNoop"),
+        flag(!isDel && unresValue(f => col(s"after.$f"))).as("_fUnres"))
       d.select(cols: _*)
     }
 
@@ -272,7 +410,8 @@ object MergeApply {
         flag(dWins && !isDel).as("_fUpsert"),
         flag(dStale).as("_fConflict"),
         flag(dDup).as("_fDuplicate"),
-        flag(dWins && !isDel && baseSeq.isNotNull && imageUnchanged).as("_fNoop"))
+        flag(dWins && !isDel && baseSeq.isNotNull && imageUnchanged).as("_fNoop"),
+        flag(dWins && !isDel && unresValue(f => col(s"d.after.$f"))).as("_fUnres"))
       joined.select(outCols: _*)
     }
 
@@ -288,6 +427,7 @@ object MergeApply {
         sum(col("_fConflict")).as("conflicts"),
         sum(col("_fDuplicate")).as("duplicates"),
         sum(col("_fNoop")).as("noopUpdates"),
+        sum(col("_fUnres")).as("unresolvedVals"),
         // GTID analog: newest log seq now present in the table
         max(col(LakeTable.SeqCol)).as("maxSeq"))
       write(observed.drop(flagCols: _*)
@@ -303,12 +443,13 @@ object MergeApply {
     }
 
     /** read one observed metric; a hard timeout turns a lost-metrics planner
-      * pathology into a loud error instead of a hung stream. */
+      * pathology into a loud error instead of a hung stream. Runs on a
+      * dedicated daemon pool — a thread stuck on a never-delivering obs.get
+      * must not poison the global ExecutionContext. */
     def metric(obs: Observation, name: String): Long = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val mm = Await.result(Future(obs.get), 120.seconds)
+      val mm = Await.result(Future(obs.get)(metricPool), 120.seconds)
       mm.get(name) match {
         case Some(v: Long) => v
         case Some(v: java.lang.Long) => v.longValue()
@@ -373,12 +514,14 @@ object MergeApply {
       // sides on ALL join keys, destroying the bucket-aligned write layout.
       // Scoped set-and-restore: planning happens inside the write action.
       val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
-      val prev = spark.conf.getOption(coPartKey)
-      spark.conf.set(coPartKey, "false")
-      try observeAndWrite(withLayout(resolveMatched(joined)))
-      finally prev match {
-        case Some(v) => spark.conf.set(coPartKey, v)
-        case None => spark.conf.unset(coPartKey)
+      planLock(spark).synchronized {
+        val prev = spark.conf.getOption(coPartKey)
+        spark.conf.set(coPartKey, "false")
+        try observeAndWrite(withLayout(resolveMatched(joined)))
+        finally prev match {
+          case Some(v) => spark.conf.set(coPartKey, v)
+          case None => spark.conf.unset(coPartKey)
+        }
       }
     }
     val applied = metric(obs, "applied"); val tombstones = metric(obs, "tombstones")
@@ -395,10 +538,31 @@ object MergeApply {
       "duplicatesIgnored" -> duplicates,
       "noopUpdates" -> noops,
       "filesRewritten" -> sel.files.size.toLong,
-      "unresolvedImageFields" -> unresolvedImageFields.size.toLong,
+      // rows that APPLIED while carrying a non-null value in an image field
+      // the schema could not resolve — data actually dropped (Ingest's
+      // hold-back keeps this at zero for the streaming path)
+      "unresolvedImageFields" -> metric(obs, "unresolvedVals"),
       "batches" -> 1L) ++ extraMetrics
-    table.commit(sel.files.map(_.path).toSet, newFiles, fenceDelta, metricsDelta, batchId,
-      maxSeq = metric(obs, "maxSeq"))
+    // Final commit with one cheap revalidated re-attempt: if a concurrent
+    // commit raced us but did NOT touch any of our input files (fence-only
+    // commit, another bucket's writer), the merge output is still exact —
+    // re-commit on top of the refreshed snapshot. If any input file was
+    // replaced (compaction/rebucket), rethrow: the outer retry redoes the
+    // merge against the new manifest.
+    def commitFinal(): Unit =
+      try {
+        table.commit(sel.files.map(_.path).toSet, newFiles, fenceDelta, metricsDelta, batchId,
+          maxSeq = metric(obs, "maxSeq"))
+        ()
+      } catch {
+        case e: CommitConflictException =>
+          val live = table.refresh().files.iterator.map(_.path).toSet
+          if (sel.files.forall(f => live.contains(f.path)))
+            table.commit(sel.files.map(_.path).toSet, newFiles, fenceDelta, metricsDelta,
+              batchId, maxSeq = metric(obs, "maxSeq"))
+          else throw e
+      }
+    commitFinal()
     MergeResult(applied, upserts, tombstones, conflicts, duplicates,
       sel.buckets.size, sel.files.size, newFiles.size)
   }

@@ -124,8 +124,17 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
       batchId: Long = -1L,
       newSchema: Option[TableSchema] = None,
       ddlSeq: Long = -1L,
-      maxSeq: Long = -1L): Snapshot = {
+      maxSeq: Long = -1L,
+      /** new bucket count — ONLY valid when every file is replaced in the
+        * same commit (a rebucket rewrite): a manifest must never mix files
+        * bucketed under two different functions. */
+      newNumBuckets: Option[Int] = None): Snapshot = {
     val cur = snap
+    newNumBuckets.foreach { n =>
+      require(n > 0, "bucket count must be positive")
+      require(cur.files.forall(f => replacedPaths.contains(f.path)),
+        "changing numBuckets requires replacing every live file in the same commit")
+    }
     val schemas =
       newSchema match {
         case Some(ns) =>
@@ -143,7 +152,7 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
       version = cur.version + 1,
       parentVersion = cur.version,
       schemaId = newSchema.map(_.schemaId).getOrElse(cur.schemaId),
-      numBuckets = cur.numBuckets,
+      numBuckets = newNumBuckets.getOrElse(cur.numBuckets),
       files = cur.files.filterNot(f => replacedPaths.contains(f.path)) ++ newFiles,
       fence = mergedFence,
       metrics = mergedMetrics,
@@ -222,6 +231,26 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
 class CommitConflictException(msg: String) extends RuntimeException(msg)
 
 object LakeTable {
+
+  /** Optimistic-concurrency retry loop for whole operations (Iceberg
+    * semantics): on a snapshot version race the table is refreshed and `body`
+    * re-runs against the new snapshot. `body` must re-read
+    * `table.snapshot`/`table.refresh()` at its top and be safe to re-execute
+    * (pure rewrite ops — compact, rebucket — and fence-only commits are). */
+  def withCommitRetry[T](table: LakeTable, maxAttempts: Int = 5)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+          table.refresh()
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private[lake] lazy val metaPool: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(16,

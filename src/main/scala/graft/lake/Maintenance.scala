@@ -28,7 +28,19 @@ object Maintenance {
       table: LakeTable,
       maxFilesPerBucket: Int = 1,
       tombstoneHorizon: Option[Long] = None,
-      force: Boolean = false): CompactionResult = {
+      force: Boolean = false): CompactionResult =
+    // Optimistic retry: compaction racing a live tail's merge commit loses the
+    // version CAS; since compaction is a pure rewrite, the safe recovery is to
+    // redo it wholesale against the refreshed snapshot (our output may be
+    // missing rows the winner just merged into the candidate files).
+    LakeTable.withCommitRetry(table)(
+      compactOnce(table, maxFilesPerBucket, tombstoneHorizon, force))
+
+  private def compactOnce(
+      table: LakeTable,
+      maxFilesPerBucket: Int,
+      tombstoneHorizon: Option[Long],
+      force: Boolean): CompactionResult = {
     val snap = table.snapshot
     val byBucket = snap.files.groupBy(_.bucket)
     val candidates: Seq[DataFile] = byBucket.valuesIterator
@@ -68,6 +80,45 @@ object Maintenance {
     table.commit(candidates.map(_.path).toSet, newFiles, Map.empty,
       Map("compactions" -> 1L, "tombstonesExpired" -> dropped))
     CompactionResult(buckets.size, dropped)
+  }
+
+  final case class RebucketResult(oldBuckets: Int, newBuckets: Int, filesWritten: Int)
+
+  /** Rewrite the WHOLE table under a new bucket count — the lift for the
+    * create-time `numBuckets` as the table grows (bucket count bounds merge
+    * parallelism and write layout; a table that grew 100× needs more buckets
+    * for strategy-3 merges to use more than `oldBuckets` tasks). Snapshot-
+    * atomic like compact: old snapshots keep reading their own files; readers
+    * and mergers pick up the new bucket function from the new snapshot.
+    * Safe beside a live tail via optimistic retry. */
+  def rebucket(table: LakeTable, newBuckets: Int): RebucketResult = {
+    require(newBuckets > 0, "newBuckets must be positive")
+    LakeTable.withCommitRetry(table)(rebucketOnce(table, newBuckets))
+  }
+
+  private def rebucketOnce(table: LakeTable, newBuckets: Int): RebucketResult = {
+    val snap = table.snapshot
+    val oldBuckets = snap.numBuckets
+    if (oldBuckets == newBuckets) return RebucketResult(oldBuckets, newBuckets, 0)
+    val spark = table.spark
+    val base = table.readInternal(snap, snap.files)
+    // the NEW bucket function — table.bucketExpr still reads the old count
+    val newBucket = pmod(hash(col("repo"), col("path")), lit(newBuckets))
+    val routed = base
+      .withColumn("_bucket", newBucket)
+      .withColumn(LakeTable.HkeyCol, table.hkeyExpr(col("repo"), col("path")))
+      .repartition(math.max(1, math.min(newBuckets,
+        spark.conf.get("spark.sql.shuffle.partitions").toInt)), col("_bucket"))
+      .sortWithinPartitions(col("_bucket"), col(LakeTable.HkeyCol))
+    val commitDir = table.newCommitDataDir()
+    routed.write.mode("overwrite")
+      .option("compression", "zstd")
+      .option("maxRecordsPerFile", snap.targetFileRows.toString)
+      .partitionBy("_bucket").parquet(commitDir)
+    val newFiles = table.listWrittenFiles(commitDir, snap.schemaId)
+    table.commit(snap.files.map(_.path).toSet, newFiles, Map.empty,
+      Map("rebuckets" -> 1L), newNumBuckets = Some(newBuckets))
+    RebucketResult(oldBuckets, newBuckets, newFiles.size)
   }
 
   /** Drop snapshot metadata older than the last `keep` versions and delete

@@ -97,6 +97,51 @@ class FilePruningSpec extends AnyFunSuite {
       s"base side must not shuffle:\n$physical")
   }
 
+  test("a 100k-entry manifest selects via broadcast lookup with no plan-size blowup") {
+    import graft.lake.DataFile
+    val dir = TestSpark.tmpDir("graft-prune-bigmanifest")
+    val table = LakeTable.create(spark, dir, numBuckets = 4, targetFileRows = 500L)
+    // real base so the selected files are readable
+    MergeApply.merge(table, delta(0L until 2000L, "insert", id => id, id => s"a-$id"), Map.empty)
+    val realFiles = table.snapshot.files
+    // graft 100k synthetic manifest entries with key ranges DISJOINT from any
+    // real key (all real hkeys land outside [3,2_000_000] only by luck — use
+    // a reserved range far below the realistic xxhash64 span instead): ranges
+    // [k, k+1] for k in 10..100k are vanishingly unlikely to contain a real
+    // 64-bit xxhash64 key, so the delta must hit ONLY the real file.
+    val synthetic = (0 until 100000).map { i =>
+      DataFile(bucket = i % 4, path = s"data/synthetic/f$i.parquet",
+        schemaId = table.schema.schemaId, rows = 1L,
+        minKey = 10L + 2L * i, maxKey = 11L + 2L * i)
+    }
+    table.commit(Set.empty, synthetic, Map.empty, Map.empty)
+    val snap = table.snapshot
+    assert(snap.files.size > 100000)
+    assert(!MergeApply.useLiteralManifest(snap), "large manifest must not use the plan-literal map")
+
+    val d = delta(Seq(77L), "update", _ => 99999L, id => s"u-$id")
+    // receipt: the broadcast lookup's plan is O(1) in manifest size — the
+    // 100k entries ride as LocalRelation DATA, not expression nodes
+    val hits = MergeApply.fileHitsDF(snap, d,
+      table.bucketExpr(col("repo"), col("path")), table.hkeyExpr(col("repo"), col("path")))
+    val planStr = hits.queryExecution.optimizedPlan.toString
+    assert(planStr.length < 100000, s"plan string blew up: ${planStr.length} chars")
+
+    val sel = MergeApply.selectFiles(table, d)
+    assert(sel.deltaRowsHint === 1L)
+    assert(sel.files.forall(f => realFiles.map(_.path).contains(f.path)),
+      "selection must hit only the real file(s), never the synthetic ranges")
+    assert(sel.files.size === 1)
+
+    // the merge itself must also stay off the literal path (stats pass)
+    val r = MergeApply.merge(table, d, Map.empty, selection = Some(sel))
+    assert(r.eventsApplied === 1)
+    // synthetic manifest paths have no backing parquet — read only real files
+    val live = table.snapshot.files.filterNot(_.path.startsWith("data/synthetic"))
+    assert(table.readInternal(table.snapshot, live)
+      .filter(col("content") === "u-77").count() === 1)
+  }
+
   test("broadcast-incremental strategy is chosen for small deltas over a large base") {
     val dir = TestSpark.tmpDir("graft-prune3")
     val table = LakeTable.create(spark, dir, numBuckets = 4, targetFileRows = 1000L)

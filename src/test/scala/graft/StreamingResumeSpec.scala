@@ -101,6 +101,107 @@ class StreamingResumeSpec extends AnyFunSuite {
       "stop → resume must lose nothing")
   }
 
+  test("a DDL arriving one micro-batch AFTER higher-seq rows loses no field (hold-back + drain)") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    val logDir = TestSpark.tmpDir("graft-ddlrace-log")
+    val tableDir = TestSpark.tmpDir("graft-ddlrace-table")
+    val ckptDir = TestSpark.tmpDir("graft-ddlrace-ckpt")
+    LakeTable.create(spark, tableDir, numBuckets = 4)
+
+    // WIDE image: the after struct carries `stars`, a column only defined by
+    // a DDL that arrives in a LATER micro-batch (from another log partition)
+    val wideRepoRow = StructType(graft.model.Schemas.repoRow.fields :+
+      StructField("stars", IntegerType))
+    val wideSchema = StructType(graft.model.Schemas.changeEvent.fields.map {
+      case f if f.name == "after" || f.name == "before" => f.copy(dataType = wideRepoRow)
+      case f => f
+    })
+
+    def rowEv(partition: Int, offset: Long, seq: Long, repo: String, path: String,
+        content: String, stars: java.lang.Integer) = {
+      import spark.implicits._
+      Seq((partition, offset, seq, repo, path, content, Option(stars).map(_.intValue)))
+        .toDF("partition", "offset", "seq", "repo", "path", "content", "stars")
+        .select(col("partition"), col("offset"), col("seq"),
+          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"),
+          lit("insert").as("op"), col("repo"), col("path"),
+          lit(null).cast(wideRepoRow).as("before"),
+          struct(col("repo"), col("path"), lit("c0").as("commit"),
+            lit("scala").as("lang"), col("content"), col("stars")).as("after"),
+          lit(null).cast(graft.model.Schemas.ddlOp).as("ddl"))
+    }
+    def ddlEv(partition: Int, offset: Long, seq: Long) = {
+      import spark.implicits._
+      Seq((partition, offset, seq)).toDF("partition", "offset", "seq")
+        .select(col("partition"), col("offset"), col("seq"),
+          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"),
+          lit("ddl").as("op"),
+          lit(null).cast("string").as("repo"), lit(null).cast("string").as("path"),
+          lit(null).cast(wideRepoRow).as("before"), lit(null).cast(wideRepoRow).as("after"),
+          struct(lit("add_column").as("kind"), lit("stars").as("column"),
+            lit(null).cast("string").as("newName"), lit(null).cast("string").as("fromType"),
+            lit("int").as("toType")).as("ddl"))
+    }
+    def writeSegment(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = TestSpark.tmpDir("graft-ddlrace-seg")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = LakeTable.listDir(Paths.get(tmp))
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val target = Paths.get(logDir, name)
+      Files.copy(part, target)
+      Files.setLastModifiedTime(target, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+
+    // micro-batch 1 (earlier mtime): partition 0 rows at seq 100..102 — two
+    // carry a non-null `stars` the schema doesn't know yet, one doesn't
+    writeSegment(
+      rowEv(0, 0L, 100L, "r1", "p1", "c-one", 7)
+        .union(rowEv(0, 1L, 101L, "r2", "p2", "c-two", 8))
+        .union(rowEv(0, 2L, 102L, "r3", "p3", "c-three", null)),
+      "seg1.parquet", 1704067200000L)
+    // micro-batch 2 (later mtime): partition 1 delivers the DDL (seq 50 —
+    // LOWER than the rows it defines the column for) plus one more row
+    writeSegment(
+      ddlEv(1, 0L, 50L).union(rowEv(1, 1L, 103L, "r4", "p4", "c-four", 9)),
+      "seg2.parquet", 1704067260000L)
+
+    val q = spark.readStream.schema(wideSchema)
+      .option("maxFilesPerTrigger", 1).option("maxFileAge", "36500d")
+      .parquet(logDir)
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Ingest.applyBatch(LakeTable.load(spark, tableDir), batch, batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+
+    val table = LakeTable.load(spark, tableDir)
+    assert(table.schema.find("stars").exists(_.dataType == "int"))
+    val rows = table.read().select("repo", "path", "content", "stars")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) null else Integer.valueOf(r.getInt(3)))).toSet
+    assert(rows === Set(
+      ("r1", "p1", "c-one", Integer.valueOf(7)),
+      ("r2", "p2", "c-two", Integer.valueOf(8)),
+      ("r3", "p3", "c-three", null: Integer),
+      ("r4", "p4", "c-four", Integer.valueOf(9))),
+      "held-back rows must re-apply with their stars values once the DDL lands")
+
+    val m = table.snapshot.metrics
+    assert(m.getOrElse("pendingHeldBack", 0L) === 2L, s"metrics: $m")
+    assert(m.getOrElse("pendingDrained", 0L) === 2L, s"metrics: $m")
+    assert(m.getOrElse("unresolvedImageFields", 0L) === 0L,
+      s"no image field may ever be dropped silently: $m")
+    // the pending store drained clean
+    val pend = Paths.get(tableDir, "_pending")
+    assert(!Files.isDirectory(pend) ||
+      LakeTable.listDir(pend).forall(p => !Files.isDirectory(p)))
+  }
+
   test("foreachBatch retry of a committed batchId is an exact no-op") {
     val logDir = TestSpark.tmpDir("graft-retry-log")
     val tableDir = TestSpark.tmpDir("graft-retry-table")

@@ -106,6 +106,70 @@ class TextDedupSpec extends AnyFunSuite {
     assert(simCapped.count() === 0)
   }
 
+  test("adversarial skew: 50% boilerplate corpus — no window over the bucket key in the plan") {
+    import spark.implicits._
+    // half the corpus is identical boilerplate: the degenerate band buckets
+    // that the cap drops. The protective mechanism itself must not be the
+    // skew hotspot — a count().over(partitionBy(bucket)) would materialize
+    // the whole degenerate bucket in ONE task's window buffer first.
+    val docs = (0 until 200).map { i =>
+      if (i % 2 == 0) (i.toLong, "exactly the same boilerplate header text repeated across half the corpus")
+      else (i.toLong, (0 until 10).map(w => s"w${i}x$w").mkString(" ")) // zero shared words
+    }.toDF("doc_id", "text")
+    val lsh = TextDedup.minHashLshPairs(docs, "doc_id", "text", minEst = 0.3, bucketCap = 50)
+    val lshPlan = lsh.queryExecution.executedPlan.toString
+    assert(!lshPlan.contains("Window"), s"bucket cap must not plan a Window:\n${lshPlan.take(2000)}")
+    // boilerplate pairs are gone (bucket of 100 > cap 50); unique docs don't pair
+    assert(lsh.count() === 0)
+    val sim = TextDedup.simHashPairs(docs, "doc_id", "text", bucketCap = 50)
+    val simPlan = sim.queryExecution.executedPlan.toString
+    assert(!simPlan.contains("Window"), s"simhash cap must not plan a Window:\n${simPlan.take(2000)}")
+    assert(sim.count() === 0)
+  }
+
+  test("IVF: trained Lloyd centroids are deterministic and beat the bootstrap on recall") {
+    import spark.implicits._
+    val vecs = (0 until 240).map { i =>
+      val cluster = i % 8
+      val v = (0 until 16).map { d =>
+        val base = math.sin(cluster * 16 + d).toFloat
+        base + 0.05f * graft.util.Rand.uniform(13L, i, d).toFloat
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val c1 = AnnSearch.lloydCentroids(vecs, "vec_id", "embedding", 8, 2)
+    val c2 = AnnSearch.lloydCentroids(vecs, "vec_id", "embedding", 8, 2)
+    assert(c1 === c2, "training must be bit-deterministic (fixed-point means)")
+    assert(c1.size === 8 && c1.forall(_._2.size === 16))
+    // quality: after 2 Lloyd rounds on an 8-cluster corpus, members of the
+    // same generator cluster should agree on their nearest trained centroid
+    // far more often than under the raw first-8 bootstrap seeds
+    def purity(cents: Seq[(Long, Seq[Double])]): Double = {
+      val cdf = cents.toDF("cent_id", "cvec")
+      val assigned = vecs.crossJoin(broadcast(cdf))
+        .select(col("vec_id"),
+          (AnnSearch.dot(col("embedding"), col("cvec")) /
+            (AnnSearch.l2norm(col("embedding")) * AnnSearch.l2norm(col("cvec")))).as("cos"),
+          col("cent_id"))
+        .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+            .orderBy(col("cos").desc, col("cent_id"))))
+        .filter(col("_rn") === 1)
+        .select(col("vec_id"), col("cent_id"))
+        .collect().map(r => (r.getLong(0) % 8, r.getLong(1)))
+      // majority centroid per generator cluster
+      assigned.groupBy(_._1).map { case (_, xs) =>
+        xs.groupBy(_._2).values.map(_.size).max.toDouble / xs.size
+      }.sum / 8.0
+    }
+    val seed = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    assert(purity(c1) >= purity(seed),
+      s"trained purity ${purity(c1)} must be >= bootstrap purity ${purity(seed)}")
+    assert(purity(c1) > 0.95, s"trained purity too low: ${purity(c1)}")
+  }
+
   test("diff data: changed fields only, exclude_field dropped, primary key re-attached") {
     import spark.implicits._
     import graft.operators.DiffData
