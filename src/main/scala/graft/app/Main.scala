@@ -73,17 +73,21 @@ object Main {
 
     case "tail" =>
       // continuous tail; stops gracefully when `stop <tableDir>` is issued
+      // (or via the HTTP control plane's /stop). GRAFT_HTTP_PORT picks the
+      // port (default: ephemeral, published to <tableDir>/_control/http.port)
       val Array(_, logDir, tableDir, ckptDir) = args.take(4)
       val mft = if (args.length > 4) args(4).toInt else 8
       if (!LakeTable.exists(tableDir)) LakeTable.create(spark, tableDir)
-      StreamIngest.tail(spark, logDir, tableDir, ckptDir, mft)
+      val port = sys.env.get("GRAFT_HTTP_PORT").map(_.toInt).getOrElse(0)
+      StreamIngest.tail(spark, logDir, tableDir, ckptDir, mft, httpPort = Some(port))
       report(spark, tableDir)
 
     case "stop" =>
       // reference /rules/{name}/stop analog; resume = re-run `tail`/`run`
       // with the same checkpoint dir
       StreamIngest.requestStop(args(1))
-      println(s"stop requested for ${args(1)} (query finishes its in-flight batch)")
+      println(s"stop requested for ${args(1)} (tail ends at the next batch " +
+        "boundary; the in-flight micro-batch finishes its commit first)")
 
     case "report" =>
       report(spark, args(1))

@@ -104,6 +104,7 @@ object AnnSearch {
       if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
     val e = corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"),
       l2norm(col(vecCol)).as("nrm"))
+      .persist() // scanned once per Lloyd iteration (assignment + dim sums)
     var cents: Seq[(Long, Seq[Double])] = corpus
       .filter(col(idCol) < c)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
@@ -111,17 +112,28 @@ object AnnSearch {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1).toSeq
     for (_ <- 0 until iters) {
-      val cdf = cents.toDF("cent_id", "cvec")
-        .select(col("cent_id"), col("cvec"),
-          sqrt(VecExprs.dot(col("cvec"), col("cvec"))).as("cnrm"))
-      val w = Window.partitionBy(col("vid")).orderBy(col("cos9").desc, col("cent_id"))
-      val assigned = e.crossJoin(broadcast(cdf))
-        .select(col("vid"), col("v"), col("cent_id"),
-          round(VecExprs.dot(col("v"), col("cvec")) / (col("nrm") * col("cnrm")) * 1e9)
-            .cast("long").as("cos9"))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-      val sums = assigned
+      // assignment as ONE expression (argmax over C literal centroids —
+      // round(cos·1e9) desc, cent_id asc): no crossJoin, no window, no
+      // shuffle — the whole iteration is a single map-side job feeding the
+      // (cent, dim) partial aggregation. The in-order Scala norm fold below
+      // performs the same IEEE double ops as VecDot/list_dot_product.
+      val scored = cents.map { case (cid, cv) =>
+        var acc = 0.0; cv.foreach(x => acc += x * x)
+        (cid, round(VecExprs.dot(col("v"), typedlit(cv)) /
+          (col("nrm") * lit(math.sqrt(acc))) * 1e9).cast("long"))
+      }
+      val scoreArr = array(scored.map(_._2): _*)
+      // first max = lowest cent_id on ties (cents are id-ascending)
+      val bestCent = element_at(typedlit(scored.map(_._1)),
+        array_position(scoreArr, array_max(scoreArr)).cast("int"))
+      // exchange barrier between assignment and explode: CollapseProject
+      // would otherwise inline the argmax ABOVE the generator and re-evaluate
+      // the 16-dot expression once per exploded dim (64×/row — measured 4×
+      // the whole iteration). The repartition pins cent_id at the shuffle
+      // write AND pre-clusters the (cent, dim) aggregation.
+      val sums = e
+        .select(bestCent.as("cent_id"), col("v"))
+        .repartition(col("cent_id"))
         .select(col("cent_id"), posexplode(col("v")))
         .groupBy(col("cent_id"), col("pos"))
         .agg(sum(round(col("col").cast("double") * 1e6).cast("long")).as("s"),
@@ -132,6 +144,7 @@ object AnnSearch {
           .map(r => roundAway(r.getLong(2).toDouble / r.getLong(3)) / 1e6).toSeq
       }.toSeq.sortBy(_._1)
     }
+    e.unpersist(blocking = false)
     cents
   }
 

@@ -163,7 +163,7 @@ object Ingest {
       table: LakeTable,
       batch: DataFrame,
       batchId: Long = -1L,
-      cfg: IngestConfig = IngestConfig()): BatchMetrics = {
+      cfg: IngestConfig = IngestConfig()): BatchMetrics = timed(s"batch-$batchId-total") {
     val spark = table.spark
     val snap0 = table.refresh()
 
@@ -311,7 +311,12 @@ object Ingest {
         sum(when(unfenced && err.isNotNull, 1L).otherwise(0L)).as("dl"),
         sum(when(unfenced && err.isNull && col("op") === Ops.Ddl, 1L).otherwise(0L)).as("nddl"),
         sum(when(isLiveRow, 1L).otherwise(0L)).as("nrows"),
-        collect_set(when(isLiveRow, bucketOf)).as("buckets"))
+        collect_set(when(isLiveRow, bucketOf)).as("buckets"),
+        // the merge joins the DEDUPED delta, so the broadcast-vs-shuffle
+        // strategy must be sized by distinct KEYS, not raw events (a CDC
+        // batch re-touching hot keys dedups 10-100×). Summing per-partition
+        // approx counts can only OVER-estimate — errs toward the shuffle.
+        approx_count_distinct(when(isLiveRow, hkeyOf)).as("keys"))
       // file hits ride the same pass when the manifest is small enough for
       // the plan-literal lookup; a large manifest (10^5+ files at 100 TB)
       // goes through a SECOND narrow job with a broadcast range join instead
@@ -334,10 +339,26 @@ object Ingest {
         stats.map(r => r.getInt(0) -> (if (r.isNullAt(6)) 0L else r.getLong(6))).toMap
       val affectedBuckets: Set[Int] =
         stats.flatMap(r => r.getSeq[Int](7)).toSet
+      // post-dedup sizing hints for the merge-strategy choice
+      val keysHint: Long =
+        math.min(rowCount, stats.map(r => if (r.isNullAt(8)) 0L else r.getLong(8)).sum)
+      // byte estimate WITHOUT touching the content column (an octet_length in
+      // the stats pass would defeat the scan's column pruning — measured 1.7×
+      // on bulk replay): compressed source-file bytes scaled by the dedup
+      // ratio. Underestimates by the compression ratio (~2-3× for text),
+      // which the 64 MB broadcast gate's headroom absorbs; the gate exists
+      // to stop multi-GB blob pathologies, not to be exact.
+      val bytesHint: Long = {
+        val src = try cached.inputFiles.map { f =>
+          try java.nio.file.Files.size(java.nio.file.Paths.get(new java.net.URI(f)))
+          catch { case _: Exception => 0L }
+        }.sum catch { case _: Exception => -1L }
+        if (src >= 0 && total > 0) (src.toDouble * keysHint / total).toLong else -1L
+      }
       val hitFiles: Seq[graft.lake.DataFile] =
         if (snap0.files.isEmpty) Seq.empty
         else if (literalHits)
-          stats.flatMap(_.getSeq[scala.collection.Seq[Int]](8).flatten)
+          stats.flatMap(_.getSeq[scala.collection.Seq[Int]](9).flatten)
             .distinct.sorted.map(snap0.files)
         else
           MergeApply.fileHitsDF(snap0,
@@ -373,7 +394,7 @@ object Ingest {
         // copy-on-write-rewrite every file the batch touches.
         val selection =
           if (!wholeBatch || heldN > 0) None
-          else Some(MergeApply.FileSelection(hitFiles, affectedBuckets, rowCount))
+          else Some(MergeApply.FileSelection(hitFiles, affectedBuckets, keysHint, bytesHint))
         val extras =
           if (!isLast) Map.empty[String, Long]
           else {

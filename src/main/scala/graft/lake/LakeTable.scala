@@ -338,6 +338,10 @@ object LakeTable {
     new LakeTable(spark, dir, s0)
   }
 
+  /** Read-only peek at the latest committed snapshot (no SparkSession — the
+    * HTTP control plane serves metadata without touching the engine). */
+  def peekSnapshot(dir: String): Option[Snapshot] = latestSnapshot(dir)
+
   def load(spark: SparkSession, dir: String): LakeTable =
     new LakeTable(spark, dir, latestSnapshot(dir).getOrElse(
       throw new IllegalArgumentException(s"not a LakeTable: $dir")))

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.lake.LakeTable
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Live HTTP control/metrics plane for a running `tail` — the reference's
+  * operator surface re-expressed over the LakeTable's durable artifacts:
+  *
+  *   GET /report    — snapshot JSON: version, schema log, files, offset
+  *                    fence, gtid (maxSeq), cumulative metrics
+  *                    (reference: /cobra/position + /rules/report,
+  *                    /root/reference/cobra/cobra_http.go:50-61,
+  *                    /root/reference/rules/factory_http.go:50-89)
+  *   GET /progress  — tail of the streaming run-report JSONL
+  *                    (/root/reference/cobra/handler_http.go:10-50)
+  *   GET /stop      — request a graceful stop (the marker the tail's batch
+  *                    boundary checks; /root/reference/rules/factory_http.go:10-25)
+  *
+  * Driver-side only, loopback by default; state comes from the snapshot log
+  * on disk, so serving a request costs no Spark job. The bound port is
+  * published to `<tableDir>/_control/http.port` for operators/tests.
+  */
+class ControlServer(tableDir: String, port: Int = 0) extends AutoCloseable {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(null) // single-threaded default executor: metadata-only replies
+
+  private def respond(x: HttpExchange, code: Int, body: String, ctype: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    x.getResponseHeaders.set("Content-Type", ctype)
+    x.sendResponseHeaders(code, bytes.length.toLong)
+    val os = x.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  server.createContext("/report", (x: HttpExchange) =>
+    try {
+      val json = LakeTable.peekSnapshot(tableDir)
+        .map(_.toJson).getOrElse("""{"error":"not a LakeTable"}""")
+      respond(x, 200, json, "application/json")
+    } catch { case e: Exception => respond(x, 500, s"""{"error":"${e.getMessage}"}""", "application/json") })
+
+  server.createContext("/progress", (x: HttpExchange) =>
+    try {
+      val p = Paths.get(tableDir, "_progress", "progress.jsonl")
+      val lines =
+        if (Files.exists(p)) Files.readAllLines(p).asScala.takeRight(50) else Seq.empty
+      respond(x, 200, lines.mkString("[", ",\n", "]"), "application/json")
+    } catch { case e: Exception => respond(x, 500, s"""{"error":"${e.getMessage}"}""", "application/json") })
+
+  server.createContext("/stop", (x: HttpExchange) =>
+    try {
+      StreamIngest.requestStop(tableDir)
+      respond(x, 200, """{"stop":"requested"}""", "application/json")
+    } catch { case e: Exception => respond(x, 500, s"""{"error":"${e.getMessage}"}""", "application/json") })
+
+  def start(): Int = {
+    server.start()
+    val bound = server.getAddress.getPort
+    val dir = Paths.get(tableDir, "_control")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("http.port"), bound.toString)
+    bound
+  }
+
+  override def close(): Unit = {
+    server.stop(0)
+    Files.deleteIfExists(Paths.get(tableDir, "_control", "http.port"))
+    ()
+  }
+}

@@ -40,7 +40,13 @@ object StreamIngest {
         * event-time window (the per-batch LWW dedup already handles
         * duplicates inside one batch, and the merge's LWW handles the rest;
         * this trims the redundant merge work early at bounded state cost). */
-      dedupWithinWatermark: Option[String] = None): StreamingQuery = {
+      dedupWithinWatermark: Option[String] = None,
+      /** When set, the marker file is checked at each BATCH BOUNDARY (before
+        * any work for the next batch starts): true graceful-stop semantics —
+        * the in-flight batch always finishes its commit; the batch that
+        * observes the marker throws [[StreamIngest.GracefulStopException]]
+        * having done nothing, and is re-delivered untouched on resume. */
+      stopMarkerAtBoundary: Option[java.nio.file.Path] = None): StreamingQuery = {
 
     val raw = ChangeLog.readStream(spark, logDir, maxFilesPerTrigger)
     val events = dedupWithinWatermark match {
@@ -52,12 +58,17 @@ object StreamIngest {
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(0L)
 
+    // ONE table handle for the whole stream: applyBatch refreshes the
+    // snapshot from disk at each batch top, so re-`load`ing per micro-batch
+    // only re-did the snapshot-dir listing/parse on the serial path.
+    val table = LakeTable.load(spark, tableDir)
     events.writeStream
       .queryName(s"graft-ingest-${java.nio.file.Paths.get(tableDir).getFileName}")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val table = LakeTable.load(spark, tableDir)
+        if (stopMarkerAtBoundary.exists(java.nio.file.Files.exists(_)))
+          throw new StreamIngest.GracefulStopException
         Ingest.applyBatch(table, batch, batchId, cfg)
         ()
       }
@@ -94,33 +105,62 @@ object StreamIngest {
     java.nio.file.Files.writeString(m, java.time.Instant.now().toString)
   }
 
-  /** Continuous tail with run-report listener + graceful-stop control:
-    * progress JSONL lands in `<tableDir>/_progress/`, and a stop marker
-    * (written by [[requestStop]] / CLI `stop`) terminates the query after
-    * the current micro-batch. Blocks until stopped or failed. */
+  /** Thrown by foreachBatch at a batch boundary when a stop was requested:
+    * the previous batch's commit is complete, the current batch has done no
+    * work — the honest "finish in-flight, then stop" semantics (a raw
+    * StreamingQuery.stop() would interrupt the micro-batch thread mid-commit
+    * and rely on fencing to clean up the replay). */
+  final class GracefulStopException
+    extends RuntimeException("graceful stop requested at batch boundary")
+
+  private def isGracefulStop(e: Throwable): Boolean =
+    e != null && (e.isInstanceOf[GracefulStopException] || isGracefulStop(e.getCause))
+
+  /** Continuous tail with run-report listener, live HTTP control plane, and
+    * graceful-stop control: progress JSONL lands in `<tableDir>/_progress/`,
+    * a stop marker (written by [[requestStop]] / CLI `stop` / HTTP `/stop`)
+    * ends the query at the next BATCH BOUNDARY — the in-flight micro-batch
+    * always completes its commit; when the source is idle (no batch will
+    * fire), a watcher stops the trigger loop directly once no trigger is
+    * active. Blocks until stopped or failed. */
   def tail(
       spark: SparkSession,
       logDir: String,
       tableDir: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 8,
-      cfg: IngestConfig = IngestConfig()): Unit = {
+      cfg: IngestConfig = IngestConfig(),
+      httpPort: Option[Int] = None): Unit = {
     val marker = stopMarker(tableDir)
     java.nio.file.Files.deleteIfExists(marker) // stale marker must not kill a fresh run
     val listener = new ProgressListener(tableDir)
     spark.streams.addListener(listener)
+    val control = httpPort.map { p =>
+      val c = new ControlServer(tableDir, p)
+      val bound = c.start()
+      println(s"control plane on http://127.0.0.1:$bound (/report /progress /stop)")
+      c
+    }
     val q = start(spark, logDir, tableDir, checkpointDir, maxFilesPerTrigger,
-      availableNow = false, cfg)
+      availableNow = false, cfg, stopMarkerAtBoundary = Some(marker))
+    // Idle-stream fallback: with no incoming data no batch boundary fires, so
+    // the marker alone would never be observed. Stop directly — but ONLY when
+    // no trigger is active, so nothing in flight is interrupted.
     val watcher = new Thread(() => {
       while (q.isActive) {
-        if (java.nio.file.Files.exists(marker)) q.stop()
+        if (java.nio.file.Files.exists(marker) && !q.status.isTriggerActive) q.stop()
         else Thread.sleep(250)
       }
     }, s"graft-stop-watch-${q.id}")
     watcher.setDaemon(true)
     watcher.start()
     try q.awaitTermination()
+    catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException
+        if isGracefulStop(e) => () // clean boundary stop
+    }
     finally {
+      control.foreach(_.close())
       spark.streams.removeListener(listener)
       java.nio.file.Files.deleteIfExists(marker)
     }
