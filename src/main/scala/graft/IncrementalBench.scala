@@ -58,7 +58,11 @@ object IncrementalBench {
     val rnd = new scala.util.Random(7)
     var fSum = 0L; var rowSum = 0L; var secSum = 0.0
     (1 to nBatches).foreach { b =>
-      val keys = Seq.fill(keysPerBatch)(math.abs(rnd.nextLong()) % nBase)
+      // distinct: a duplicate key would violate MergeApply's one-row-per-key
+      // delta contract (a base row matching two identical broadcast delta
+      // rows is emitted twice)
+      val keys = Iterator.continually(math.abs(rnd.nextLong()) % nBase)
+        .distinct.take(keysPerBatch).toSeq
       val snapBefore = table.snapshot
       val t1 = System.nanoTime()
       val r = MergeApply.merge(table, delta(keys, "update", nBase * (b + 1)), Map.empty)

@@ -447,6 +447,58 @@ object SparkEntry {
       .filter(col("cos_e4") >= 4000)
   }
 
+  /** Multimodal feature extraction over binary media columns: deterministic
+    * PPM/BMP/WAV payloads are ENCODED from parameters derived off the
+    * documents table, then PARSED BACK by the real byte-level container
+    * decoder ([[graft.functions.Multimodal.decode]]) inside mapPartitions.
+    * The DuckDB oracle computes every feature (including exact byte lengths,
+    * with PPM's variable ASCII header and BMP's 4-byte row padding) in
+    * closed form — so a hash match proves decode ∘ encode = identity on
+    * every row, i.e. the parser reads real container headers correctly. */
+  private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Multimodal
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val w = (16 + (id * 7) % 48).toInt
+        val h = (16 + (id * 11) % 48).toInt
+        id % 3 match {
+          case 0 => Multimodal.MediaRow(id, "image_ppm", Multimodal.encodePpm(w, h, id), Map.empty)
+          case 1 => Multimodal.MediaRow(id, "image_bmp", Multimodal.encodeBmp(w, h, id), Map.empty)
+          case _ => Multimodal.MediaRow(id, "audio_wav",
+            Multimodal.encodeWav((1 + id % 2).toInt, (8000 + 100 * (id % 5)).toInt,
+              64 + (nChars % 128), id), Map.empty)
+        }
+      }
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("byte_len"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples").as("n_samples"))
+  }
+
+  private def multimodalOracleSql: String = {
+    val w = "(16 + (doc_id*7) % 48)"
+    val h = "(16 + (doc_id*11) % 48)"
+    s"""SELECT doc_id AS media_id,
+       |  CASE doc_id % 3 WHEN 0 THEN 'image_ppm' WHEN 1 THEN 'image_bmp' ELSE 'audio_wav' END AS kind,
+       |  (CASE doc_id % 3
+       |    WHEN 0 THEN 3 + len($w::VARCHAR) + 1 + len($h::VARCHAR) + 5 + 3 * $w * $h
+       |    WHEN 1 THEN 54 + ((($w*3 + 3) // 4) * 4) * $h
+       |    ELSE 44 + (64 + (n_chars % 128)) * (1 + doc_id % 2) * 2
+       |  END)::BIGINT AS byte_len,
+       |  (CASE WHEN doc_id % 3 IN (0,1) THEN $w END)::BIGINT AS width,
+       |  (CASE WHEN doc_id % 3 IN (0,1) THEN $h END)::BIGINT AS height,
+       |  (CASE WHEN doc_id % 3 IN (0,1) THEN 3 ELSE 1 + doc_id % 2 END)::BIGINT AS channels,
+       |  (CASE WHEN doc_id % 3 = 2 THEN 8000 + 100 * (doc_id % 5) END)::BIGINT AS sample_rate,
+       |  (CASE WHEN doc_id % 3 = 2 THEN 64 + (n_chars % 128) END)::BIGINT AS n_samples
+       |FROM documents""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -475,7 +527,8 @@ object SparkEntry {
     "text_jaccard_adjacent" -> (qTextJaccardAdjacent _),
     "ann_lsh_topk" -> (qAnnLshTopk _),
     "ann_ivf_topk" -> (qAnnIvfTopk _),
-    "embed_near_dup" -> (qEmbedNearDup _))
+    "embed_near_dup" -> (qEmbedNearDup _),
+    "multimodal_features" -> (qMultimodalFeatures _))
 
   // ---- generated oracle SQL for the hash-based operators (constants shared
   //      with the Spark plans via OracleHash) ----
@@ -644,6 +697,7 @@ object SparkEntry {
     "ann_lsh_topk" -> annLshOracleSql,
     "ann_ivf_topk" -> annIvfOracleSql,
     "embed_near_dup" -> embedNearDupOracleSql,
+    "multimodal_features" -> multimodalOracleSql,
 
     "cdc_changed_fields" ->
       """SELECT user_id, event_id,

@@ -35,4 +35,44 @@ object Keys {
     val a = aggre.map(_ + AggreSep).getOrElse("")
     a + p + idx
   }
+
+  /** The TABLENAME prefix sentinel
+    * (/root/reference/config/aggregation.go:117-122). */
+  val TableNameSentinel = "TABLENAME"
+
+  /** Per-table key-rule config — the reference's `IdxRuleConfig`
+    * (/root/reference/config/config.go:24-32) mapped field-for-field.
+    * `userField` ("操作人字段" — the acting-user column) is config-only in
+    * the reference; here it is a first-class attribution column read from
+    * the same image the key reads ([[userFor]]), so lineage/consumers can
+    * carry who made the change. */
+  final case class IdxRule(
+      tables: Seq[String] = Seq.empty,
+      idxField: String,
+      idxPrefix: Option[String] = None,
+      aggreField: Option[String] = None,
+      userField: Option[String] = None,
+      primaryKey: Seq[String] = Seq.empty,
+      excludeField: Seq[String] = Seq.empty)
+
+  /** Aggregation key for an event frame under `rule`. The reference reads
+    * the after-image for updates and the only image otherwise
+    * (/root/reference/config/aggregation.go:126-135); callers pass that
+    * authoritative image struct. */
+  def keyFor(rule: IdxRule, tableName: Column, image: Column): Column = {
+    val prefix = rule.idxPrefix match {
+      case Some(TableNameSentinel) => tableName.cast("string")
+      case Some(p) => lit(p)
+      case None => lit(null).cast("string")
+    }
+    val aggre = rule.aggreField
+      .map(f => image.getField(f).cast("string"))
+      .getOrElse(lit(null).cast("string"))
+    aggregationKey(aggre, prefix, image.getField(rule.idxField))
+  }
+
+  /** Acting-user attribution column under `rule` (null when unconfigured). */
+  def userFor(rule: IdxRule, image: Column): Column =
+    rule.userField.map(f => image.getField(f).cast("string"))
+      .getOrElse(lit(null).cast("string"))
 }

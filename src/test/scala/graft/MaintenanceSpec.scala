@@ -95,18 +95,35 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(reg.lastFailures.keySet === Set("boom"))
   }
 
-  test("multimodal: binary columns + partition-wise stub decode") {
+  test("multimodal: real container decode (PPM/BMP/WAV) round-trips encode exactly") {
+    // direct encode→decode identity on known parameters
+    val ppm = Multimodal.decode(1L, Multimodal.encodePpm(33, 47, 5L))
+    assert(ppm.kind === "image_ppm" && ppm.width === Some(33) && ppm.height === Some(47) &&
+      ppm.channels === Some(3))
+    assert(ppm.byte_len === ("P6\n33 47\n255\n".length + 33 * 47 * 3).toLong)
+    val bmp = Multimodal.decode(2L, Multimodal.encodeBmp(21, 10, 5L))
+    assert(bmp.kind === "image_bmp" && bmp.width === Some(21) && bmp.height === Some(10) &&
+      bmp.channels === Some(3))
+    assert(bmp.byte_len === (54 + ((21 * 3 + 3) / 4) * 4 * 10).toLong, "BMP row padding")
+    val wav = Multimodal.decode(3L, Multimodal.encodeWav(2, 8300, 100L, 5L))
+    assert(wav.kind === "audio_wav" && wav.channels === Some(2) &&
+      wav.sample_rate === Some(8300) && wav.n_samples === Some(100L))
+    // malformed payloads degrade to kind=unknown, never throw
+    assert(Multimodal.decode(4L, Array[Byte](1, 2, 3)).kind === "unknown")
+    assert(Multimodal.decode(5L, "P6\nnonsense".getBytes).kind === "unknown")
+
+    // distributed: partition-wise decode over the binary column
     val media = Multimodal.genMedia(spark, 200)
     val feats = Multimodal.extractFeatures(media)
     assert(feats.count() === 200)
-    val r = feats.filter(col("media_id") === 7L).collect()(0)
-    assert(r.width >= 16 && r.width < 80, "width from stub header")
-    assert(r.channels >= 1 && r.channels <= 3, "channels from stub header")
+    assert(feats.filter(col("kind") === "unknown").count() === 0)
+    val r = feats.filter(col("media_id") === 6L).collect()(0) // 6 % 3 == 0 → ppm
+    assert(r.kind === "image_ppm" && r.width.get >= 16 && r.width.get < 64)
     // deterministic: same seed ⇒ same features
     val again = Multimodal.extractFeatures(Multimodal.genMedia(spark, 200))
-      .filter(col("media_id") === 7L).collect()(0)
+      .filter(col("media_id") === 6L).collect()(0)
     assert(r === again)
     val stats = Multimodal.sizeStats(media.toDF())
-    assert(stats.count() === 3) // image/audio/video
+    assert(stats.count() === 3) // ppm/bmp/wav
   }
 }

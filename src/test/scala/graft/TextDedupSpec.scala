@@ -204,4 +204,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.getString(1) === "t:7")
     assert(got.getString(2) === "7")
   }
+
+  test("IdxRule config surface: TABLENAME sentinel, aggre/user fields from the image") {
+    import spark.implicits._
+    val df = Seq(("orders", (7L, "corr-9", "alice")))
+      .toDF("tbl", "img")
+      .select(col("tbl"), col("img").cast("struct<oid:bigint,corr:string,op_user:string>"))
+    val rule = Keys.IdxRule(
+      tables = Seq("orders"), idxField = "oid",
+      idxPrefix = Some(Keys.TableNameSentinel),
+      aggreField = Some("corr"), userField = Some("op_user"),
+      primaryKey = Seq("oid"), excludeField = Seq("corr"))
+    val r = df.select(
+      Keys.keyFor(rule, col("tbl"), col("img")).as("key"),
+      Keys.userFor(rule, col("img")).as("user"),
+      Keys.userFor(rule.copy(userField = None), col("img")).as("noUser"),
+      Keys.keyFor(rule.copy(idxPrefix = Some("x"), aggreField = None), col("tbl"), col("img")).as("key2"))
+      .collect()(0)
+    assert(r.getString(0) === "corr-9,orders:7")
+    assert(r.getString(1) === "alice")
+    assert(r.isNullAt(2))
+    assert(r.getString(3) === "x:7")
+  }
 }
