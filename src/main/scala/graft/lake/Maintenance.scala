@@ -128,8 +128,17 @@ object Maintenance {
     * Liveness is decided by commit-dir BASENAME (manifest paths are relative
     * to the table root), never by full path-string equality — a table reached
     * via a different spelling (relative vs absolute, symlink, copy) must not
-    * GC its own live data. */
-  def expireSnapshots(table: LakeTable, keep: Int = 2): Int = {
+    * GC its own live data.
+    *
+    * `graceMs` protects IN-FLIGHT commits (Iceberg's orphan-file grace, same
+    * reason): a concurrent merge writes its commit-dir BEFORE the snapshot
+    * that references it, so a dir younger than the grace window is presumed
+    * in-flight and skipped even when no retained snapshot references it —
+    * deleting it would yank the data out from under the commit that is about
+    * to publish it. Truly orphaned dirs (crashed writers) age past the
+    * window and are collected on the next expiry. */
+  def expireSnapshots(table: LakeTable, keep: Int = 2,
+      graceMs: Long = 10L * 60 * 1000): Int = {
     require(keep >= 1)
     val dir = Paths.get(table.dir)
     val snapDir = dir.resolve("snapshots")
@@ -151,8 +160,12 @@ object Maintenance {
     }.toSet
     val dataDir = dir.resolve("data")
     if (Files.isDirectory(dataDir)) {
+      val cutoff = System.currentTimeMillis() - graceMs
       LakeTable.listDir(dataDir).foreach { commitDir =>
-        if (!referenced.contains(commitDir.getFileName.toString))
+        val young =
+          try Files.getLastModifiedTime(commitDir).toMillis > cutoff
+          catch { case _: java.io.IOException => true } // vanished/unreadable: skip
+        if (!referenced.contains(commitDir.getFileName.toString) && !young)
           org.apache.commons.io.FileUtils.deleteQuietly(commitDir.toFile)
       }
     }

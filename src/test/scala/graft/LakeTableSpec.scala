@@ -81,9 +81,15 @@ class LakeTableSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(orphan, "_bucket=0"), "") // placeholder file
     assert(t.read().count() === 0, "orphan data must be invisible to reads")
+    // default grace treats the young dir as a possibly-in-flight commit
     graft.lake.Maintenance.expireSnapshots(t, keep = 1)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(orphan)),
+      "a commit dir younger than the grace window must survive expiry " +
+        "(it may belong to an in-flight commit racing this expiry)")
+    // past the grace window it is a true orphan and goes
+    graft.lake.Maintenance.expireSnapshots(t, keep = 1, graceMs = 0L)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(orphan)),
-      "expiry must GC unreferenced commit dirs")
+      "expiry must GC unreferenced commit dirs older than the grace window")
   }
 
   test("a truncated newest snapshot does not brick the table (falls back to previous version)") {
@@ -123,7 +129,7 @@ class LakeTableSpec extends AnyFunSuite {
     val link = java.nio.file.Paths.get(TestSpark.tmpDir("graft-lake-link"), "tbl")
     java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(dir))
     val viaLink = LakeTable.load(spark, link.toString)
-    graft.lake.Maintenance.expireSnapshots(viaLink, keep = 1)
+    graft.lake.Maintenance.expireSnapshots(viaLink, keep = 1, graceMs = 0L)
     // live data must still be readable through the original spelling
     val rows = LakeTable.load(spark, dir).read().select("content").collect()
     assert(rows.map(_.getString(0)).toSeq === Seq("v2"),

@@ -42,7 +42,7 @@ class MaintenanceSpec extends AnyFunSuite {
 
     // expiry: keep last 2 snapshots; older data dirs vanish; current reads fine
     val dataDirs = java.nio.file.Files.list(java.nio.file.Paths.get(tableDir, "data")).count()
-    val expired = Maintenance.expireSnapshots(table, keep = 2)
+    val expired = Maintenance.expireSnapshots(table, keep = 2, graceMs = 0L)
     assert(expired > 0)
     val dataDirsAfter = java.nio.file.Files.list(java.nio.file.Paths.get(tableDir, "data")).count()
     assert(dataDirsAfter < dataDirs, "unreferenced commit dirs must be deleted")
