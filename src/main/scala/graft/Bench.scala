@@ -69,6 +69,11 @@ object Bench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // shuffle spill files on tmpfs — same fixed-shared-disk rationale as
+      // the work dir below and ScalingBench
+      .config("spark.local.dir",
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
+        else "/tmp")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -80,6 +85,10 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$tbl.parquet").count() catch { case _: Throwable => }
     }
     try SparkEntry.queries("ann_cosine_topk")(spark, sfDir).count() catch { case _: Throwable => }
+    // ann_ivf compiles the largest generated kernels (argmax matrix + Lloyd
+    // wide aggregate); without its own warmup the timed number is mostly
+    // Janino, not the query
+    try SparkEntry.queries("ann_ivf_topk")(spark, sfDir).count() catch { case _: Throwable => }
 
     // 1. operator queries
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -88,8 +97,14 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // 2. CDC headline: changelog replay → converged LakeTable
-    val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    // 2. CDC headline: changelog replay → converged LakeTable.
+    // tmpfs work dir, same rationale as ScalingBench: the sandbox's single
+    // shared disk is a fixed resource whose day-to-day weather would otherwise
+    // dominate the round-over-round comparison; on a real cluster the sink
+    // (object store / HDFS) scales with executors.
+    val workRoot = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+      java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp")
+    val work = java.nio.file.Files.createTempDirectory(workRoot, "graft-bench").toString
     val cfg = cdcGenConfig(sfDir, nPartitions = 16)
     val logDir = s"$work/log"
     ChangeLog.write(ChangelogGen.events(spark, cfg), logDir)
@@ -177,25 +192,38 @@ object ScalingBench {
       s.stop(); SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     }
 
-    def measure(cores: Int): Seq[Double] = {
+    def measureOnce(cores: Int, warmup: Boolean): Double = {
       val s = session(cores)
-      Bench.runIngest(s, logDir, work, streaming = false) // JIT/codegen warmup
-      val secs = Seq.fill(3)(Bench.runIngest(s, logDir, work, streaming = false))
+      if (warmup) Bench.runIngest(s, logDir, work, streaming = false) // JIT/codegen
+      val sec = Bench.runIngest(s, logDir, work, streaming = false)
       s.stop(); SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      secs
+      sec
     }
 
-    val runsA = measure(coresA)
-    val runsB = measure(coresB)
+    // INTERLEAVED pairs (A1,B1),(A2,B2),(A3,B3): the two levels of one pair
+    // run minutes apart instead of the old blocked design's ~5-minute gap
+    // between ALL of level A and ALL of level B — hypervisor weather that
+    // drifts across that gap biased the ratio itself, not just its variance.
+    // JIT/codegen warm up once per level (the JVM persists across sessions).
+    val pairs = (1 to 3).map { i =>
+      val a = measureOnce(coresA, warmup = i == 1)
+      val b = measureOnce(coresB, warmup = i == 1)
+      (a, b)
+    }
+    val runsA = pairs.map(_._1)
+    val runsB = pairs.map(_._2)
     // min over repeated runs: host noise (this is a shared VM) is additive,
     // never negative, so min is the least-biased estimator of true cost
     val secA = runsA.min
     val secB = runsB.min
+    // per-pair efficiencies: each is drift-immune (temporally adjacent runs)
+    val pairEffs = pairs.map { case (a, b) => (a / b) / (coresB.toDouble / coresA) }
     val tpA = cfg.nEvents / secA
     val tpB = cfg.nEvents / secB
     val eff = (tpB / tpA) / (coresB.toDouble / coresA)
+    val pairEffStr = pairEffs.map(e => f"$e%.3f").mkString(",")
     val line =
-      f"""{"events":${cfg.nEvents},"cores_a":$coresA,"sec_a":$secA%.2f,"tp_a":${tpA.toLong},"cores_b":$coresB,"sec_b":$secB%.2f,"tp_b":${tpB.toLong},"scaling_efficiency":$eff%.3f}"""
+      f"""{"events":${cfg.nEvents},"cores_a":$coresA,"sec_a":$secA%.2f,"tp_a":${tpA.toLong},"cores_b":$coresB,"sec_b":$secB%.2f,"tp_b":${tpB.toLong},"scaling_efficiency":$eff%.3f,"pair_efficiencies":[$pairEffStr]}"""
     println(line)
 
     def runsStr(rs: Seq[Double]) = rs.map(r => f"$r%.2f").mkString(", ")
@@ -210,11 +238,14 @@ object ScalingBench {
          |parallelism levels (local[$coresA] vs local[$coresB]); efficiency =
          |(tp_4N / tp_N) / 4.
          |
-         |Method: one JIT/codegen warmup replay per level, then 3 timed
-         |replays; work dir on tmpfs (the sandbox's single local disk is a
-         |fixed shared resource — on a real N→4N cluster, sink bandwidth
-         |scales with executors); dirty pages synced outside the timed window;
-         |min over runs (host noise on this shared VM is additive).
+         |Method: 3 INTERLEAVED (N, 4N) pairs — the two levels of a pair run
+         |minutes apart, so hypervisor weather drifting across the old blocked
+         |design's two measurement windows cannot bias the ratio; one
+         |JIT/codegen warmup per level before its first timed run; work dir on
+         |tmpfs (the sandbox's single local disk is a fixed shared resource —
+         |on a real N→4N cluster, sink bandwidth scales with executors); dirty
+         |pages synced outside the timed window; min over runs (host noise on
+         |this shared VM is additive), plus drift-immune per-pair efficiencies.
          |
          |## Run (${java.time.Instant.now()})
          |
@@ -223,7 +254,9 @@ object ScalingBench {
          || ${cfg.nEvents} | local[$coresA] | ${runsStr(runsA)} | $secA%.2f | ${tpA.toLong} |
          || ${cfg.nEvents} | local[$coresB] | ${runsStr(runsB)} | $secB%.2f | ${tpB.toLong} |
          |
-         |**Scaling efficiency: $eff%.3f** (target ≥ 0.8)
+         |**Scaling efficiency (best-of-mins): $eff%.3f**; per-pair
+         |(drift-immune): ${pairEffs.map(e => f"$e%.3f").mkString(" / ")} —
+         |median **${pairEffs.sorted.apply(1)}%.3f** (target ≥ 0.8)
          |
          |## Why the single-box number understates a real cluster
          |

@@ -380,14 +380,19 @@ object SparkEntry {
     val cents = trained.toDF("cent_id", "cvec")
       .select(col("cent_id"), col("cvec"),
         sqrt(VecExprs.dot(col("cvec"), col("cvec"))).as("cnrm"))
-    val cos9 = round(AnnSearch.cosineWithNorms(col("embedding"), col("cvec"),
-      col("nrm"), col("cnrm")) * 1e9).cast("long")
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos9").desc, col("cent_id"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"), cos9.as("cos9"))
-      .withColumn("_rn", row_number().over(wAssign))
-      .filter(col("_rn") === 1)
+    // assignment is a pure map via the VecArgMaxCos kernel (argmax of
+    // round(cos·1e9), ties → lowest cent_id; identical ordering to the
+    // row_number-over-(cos9 desc, cent_id) formulation it replaces) —
+    // no crossJoin, no window shuffle. Materialized once: it feeds BOTH the
+    // probe selection and the candidate join below.
+    val cnorms = trained.map { case (_, cv) =>
+      var acc = 0.0; cv.foreach(x => acc += x * x); math.sqrt(acc)
+    }
+    val assigned = e
+      .withColumn("cent_id", element_at(typedlit(trained.map(_._1)),
+        VecExprs.argMaxCos(col("embedding"), trained.map(_._2), cnorms) + 1))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+      .localCheckpoint(true)
     val probes = assigned.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
       .crossJoin(broadcast(cents))

@@ -112,36 +112,36 @@ object AnnSearch {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1).toSeq
     for (_ <- 0 until iters) {
-      // assignment as ONE expression (argmax over C literal centroids —
-      // round(cos·1e9) desc, cent_id asc): no crossJoin, no window, no
-      // shuffle — the whole iteration is a single map-side job feeding the
-      // (cent, dim) partial aggregation. The in-order Scala norm fold below
-      // performs the same IEEE double ops as VecDot/list_dot_product.
-      val scored = cents.map { case (cid, cv) =>
-        var acc = 0.0; cv.foreach(x => acc += x * x)
-        (cid, round(VecExprs.dot(col("v"), typedlit(cv)) /
-          (col("nrm") * lit(math.sqrt(acc))) * 1e9).cast("long"))
+      // assignment as ONE kernel (VecArgMaxCos: argmax over the baked C×D
+      // centroid matrix — round(cos·1e9) desc, cent_id asc): no crossJoin,
+      // no window, no shuffle, and generated code O(1) in C (the earlier
+      // C-unrolled dot expressions made Janino compile time dominate at
+      // bench scale and could never hold C ~ √N). The in-order norm fold
+      // below performs the same IEEE double ops as the kernel's loop.
+      val cnorms = cents.map { case (_, cv) =>
+        var acc = 0.0; cv.foreach(x => acc += x * x); math.sqrt(acc)
       }
-      val scoreArr = array(scored.map(_._2): _*)
-      // first max = lowest cent_id on ties (cents are id-ascending)
-      val bestCent = element_at(typedlit(scored.map(_._1)),
-        array_position(scoreArr, array_max(scoreArr)).cast("int"))
-      // exchange barrier between assignment and explode: CollapseProject
-      // would otherwise inline the argmax ABOVE the generator and re-evaluate
-      // the 16-dot expression once per exploded dim (64×/row — measured 4×
-      // the whole iteration). The repartition pins cent_id at the shuffle
-      // write AND pre-clusters the (cent, dim) aggregation.
+      // kernel returns the ARRAY INDEX of the winner; cents are id-ascending
+      // so first-max-index == lowest cent_id on ties
+      val bestCent = element_at(typedlit(cents.map(_._1)),
+        VecExprs.argMaxCos(col("v"), cents.map(_._2), cnorms) + 1)
+      // per-dim sums as WIDE aggregate columns (dim is known from the
+      // centroids): ONE codegen'd map+agg job per iteration — no posexplode,
+      // no repartition, and no CollapseProject re-eval hazard, because the
+      // aggregate's grouping key evaluates the argmax exactly once per row.
+      // Integer math (sum of round(x*1e6) longs per dim) is order-independent
+      // and identical to the oracle's formulation.
+      val dims = cents.head._2.length
+      val dimSums = (0 until dims).map(i =>
+        sum(round(element_at(col("v"), i + 1).cast("double") * 1e6).cast("long")).as(s"s$i"))
       val sums = e
         .select(bestCent.as("cent_id"), col("v"))
-        .repartition(col("cent_id"))
-        .select(col("cent_id"), posexplode(col("v")))
-        .groupBy(col("cent_id"), col("pos"))
-        .agg(sum(round(col("col").cast("double") * 1e6).cast("long")).as("s"),
-          count(lit(1)).as("n"))
+        .groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("n"), dimSums: _*)
         .collect()
-      cents = sums.groupBy(_.getLong(0)).map { case (cid, rows) =>
-        cid -> rows.sortBy(_.getInt(1))
-          .map(r => roundAway(r.getLong(2).toDouble / r.getLong(3)) / 1e6).toSeq
+      cents = sums.map { r =>
+        val n = r.getLong(1)
+        r.getLong(0) -> (0 until dims).map(i => roundAway(r.getLong(2 + i).toDouble / n) / 1e6)
       }.toSeq.sortBy(_._1)
     }
     e.unpersist(blocking = false)

@@ -41,6 +41,10 @@ object VecExprs {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  def argMaxCos(v: Column, cents: Seq[Seq[Double]], cnorms: Seq[Double]): Column =
+    ColumnBridge.column(VecArgMaxCos(ColumnBridge.expression(v),
+      cents.map(_.toArray).toArray, cnorms.toArray))
+
   def minHashSig(hashes: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes),
       OracleHash.coefA(k).toArray, OracleHash.coefB(k).toArray))
@@ -78,6 +82,82 @@ object VecExprs {
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
+  }
+
+  /** Index of the centroid maximizing round(cos(v, c_i)·1e9), ties → lowest
+    * index — ONE kernel looping a baked C×D matrix instead of C unrolled
+    * [[VecDot]] expressions + a window. The unrolled form's generated code
+    * grows O(C·D) and its Janino compile alone dominated `ann_ivf_topk` at
+    * bench scale; at real scale C ~ √N makes unrolling impossible. Scoring
+    * math is bit-identical to the declarative form it replaces:
+    * dot accumulated left-to-right, cos = dot/(sqrt(dot(v,v))·cnorm),
+    * HALF_UP rounding away from zero at 1e9 (Spark round() semantics). */
+  case class VecArgMaxCos(child: Expression, cents: Array[Array[Double]],
+      cnorms: Array[Double]) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      argMaxCosEval(v, elemType, cents, cnorms)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cRef = ctx.addReferenceObj("centsMatrix", cents, "double[][]")
+        val nRef = ctx.addReferenceObj("centNorms", cnorms, "double[]")
+        val vn = ctx.freshName("vn"); val d = ctx.freshName("d"); val i = ctx.freshName("i")
+        val j = ctx.freshName("j"); val cv = ctx.freshName("cv"); val acc = ctx.freshName("acc")
+        val cos9 = ctx.freshName("cos9"); val best = ctx.freshName("best")
+        val bestIdx = ctx.freshName("bestIdx"); val x = ctx.freshName("x")
+        s"""
+           |int $d = $a.numElements();
+           |double $vn = 0.0;
+           |for (int $i = 0; $i < $d; $i++) {
+           |  double $x = ${elemGet(elemType, a, i)};
+           |  $vn += $x * $x;
+           |}
+           |$vn = java.lang.Math.sqrt($vn);
+           |long $best = java.lang.Long.MIN_VALUE; int $bestIdx = 0;
+           |for (int $i = 0; $i < $cRef.length; $i++) {
+           |  double[] $cv = $cRef[$i];
+           |  int ${j}n = java.lang.Math.min($d, $cv.length);
+           |  double $acc = 0.0;
+           |  for (int $j = 0; $j < ${j}n; $j++) {
+           |    $acc += ${elemGet(elemType, a, j)} * $cv[$j];
+           |  }
+           |  double ${x}c = $acc / ($vn * $nRef[$i]) * 1.0E9;
+           |  long $cos9 = ${x}c >= 0
+           |    ? (long) java.lang.Math.floor(${x}c + 0.5d)
+           |    : (long) java.lang.Math.ceil(${x}c - 0.5d);
+           |  if ($cos9 > $best) { $best = $cos9; $bestIdx = $i; }
+           |}
+           |${ev.value} = $bestIdx;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Interpreted twin of [[VecArgMaxCos]]'s generated loop (same IEEE order). */
+  def argMaxCosEval(v: ArrayData, et: DataType,
+      cents: Array[Array[Double]], cnorms: Array[Double]): Int = {
+    val d = v.numElements()
+    var vn = 0.0; var i = 0
+    while (i < d) { val x = elemVal(et, v, i); vn += x * x; i += 1 }
+    vn = math.sqrt(vn)
+    var best = Long.MinValue; var bestIdx = 0; i = 0
+    while (i < cents.length) {
+      val cv = cents(i)
+      val n = math.min(d, cv.length)
+      var acc = 0.0; var j = 0
+      while (j < n) { acc += elemVal(et, v, j) * cv(j); j += 1 }
+      val xc = acc / (vn * cnorms(i)) * 1e9
+      val cos9 = if (xc >= 0) math.floor(xc + 0.5).toLong else math.ceil(xc - 0.5).toLong
+      if (cos9 > best) { best = cos9; bestIdx = i }
+      i += 1
+    }
+    bestIdx
   }
 
   def shingleH32(words: Column, text: Column, n: Int): Column =
