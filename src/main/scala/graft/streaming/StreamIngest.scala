@@ -91,6 +91,51 @@ object StreamIngest {
     finally spark.streams.removeListener(listener)
   }
 
+  /** One named rule of a multi-rule pipeline: its own filter chain / salt /
+    * delivery config (inside `cfg`) and its own sink table — the reference's
+    * process layout, where one canal dispatches every event to each
+    * registered rule and each rule filters and applies independently
+    * (/root/reference/cobra/handler.go:77-101 fan-in,
+    * /root/reference/rules/factory.go rule registry). */
+  final case class Rule(name: String, tableDir: String, cfg: IngestConfig = IngestConfig())
+
+  /** ONE stream, N rules: each micro-batch is read once (persisted when more
+    * than one rule consumes it) and applied to every rule's table through the
+    * same exactly-once path. Per-table batchId fencing makes a crash-retry
+    * idempotent PER RULE: tables that already committed the batch skip it,
+    * the rest apply it — no cross-rule coordination needed.
+    *
+    * Scale note: rules apply sequentially within a batch (each apply is
+    * itself a cluster-wide job; running them concurrently would only
+    * interleave the same executors) — the batch scan is shared via persist,
+    * so rule count multiplies merge work only, not source IO. */
+  def runRulesAvailable(
+      spark: SparkSession,
+      logDir: String,
+      rules: Seq[Rule],
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 8): Unit = {
+    require(rules.nonEmpty, "at least one rule")
+    require(rules.map(_.name).distinct.size == rules.size, "rule names must be unique")
+    val raw = ChangeLog.readStream(spark, logDir, maxFilesPerTrigger)
+    val tables = rules.map(r => r -> LakeTable.load(spark, r.tableDir))
+    val q = raw.writeStream
+      .queryName(s"graft-rules-${rules.map(_.name).mkString("+")}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val shared = if (tables.size > 1) batch.persist() else batch
+        try tables.foreach { case (rule, table) =>
+          Ingest.applyBatch(table, shared, batchId, rule.cfg)
+        } finally {
+          if (tables.size > 1) { shared.unpersist(blocking = false); () }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   private def stopMarker(tableDir: String): java.nio.file.Path =
     java.nio.file.Paths.get(tableDir, "_control", "stop")
 

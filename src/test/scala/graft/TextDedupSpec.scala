@@ -170,6 +170,38 @@ class TextDedupSpec extends AnyFunSuite {
     assert(purity(c1) > 0.95, s"trained purity too low: ${purity(c1)}")
   }
 
+  test("VecArgMaxCos kernel matches the declarative argmax and breaks ties to the lowest id") {
+    import spark.implicits._
+    import graft.functions.VecExprs
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, (0 until 16).map(d => graft.util.Rand.uniform(7L, i, d).toFloat - 0.5f))
+    }.toDF("vec_id", "embedding")
+    // centroids 2 and 5 are IDENTICAL: every row scoring them ties at the
+    // rounded cos9, and the contract picks the LOWER index
+    val c0 = (0 until 6).map(c =>
+      (0 until 16).map(d => math.sin(c * 16 + d) / 2).toIndexedSeq: Seq[Double])
+    val cents = c0.updated(5, c0(2))
+    val cnorms = cents.map { cv => var a = 0.0; cv.foreach(x => a += x * x); math.sqrt(a) }
+    val kernel = vecs.select(col("vec_id"),
+      VecExprs.argMaxCos(col("embedding"), cents, cnorms).as("idx")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // declarative reference: crossJoin + Spark round() + row_number window
+    val cdf = cents.zipWithIndex.map { case (cv, i) => (i, cv) }.toDF("idx", "cvec")
+    val expected = vecs.crossJoin(broadcast(cdf))
+      .select(col("vec_id"), col("idx"),
+        round(AnnSearch.dot(col("embedding"), col("cvec")) /
+          (AnnSearch.l2norm(col("embedding")) * AnnSearch.l2norm(col("cvec"))) * 1e9)
+          .cast("long").as("cos9"))
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("cos9").desc, col("idx"))))
+      .filter(col("_rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kernel === expected, "kernel argmax must equal round()+window argmax")
+    assert(!kernel.values.exists(_ == 5), "ties against an identical centroid must pick index 2")
+    assert(kernel.values.toSet.contains(2), "the duplicated centroid must win somewhere")
+  }
+
   test("diff data: changed fields only, exclude_field dropped, primary key re-attached") {
     import spark.implicits._
     import graft.operators.DiffData
