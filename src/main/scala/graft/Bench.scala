@@ -69,6 +69,8 @@ object Bench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // zstd shuffle codec — engine default, see Main.scala rationale
+      .config("spark.io.compression.codec", "zstd")
       // shuffle spill files on tmpfs — same fixed-shared-disk rationale as
       // the work dir below and ScalingBench
       .config("spark.local.dir",
@@ -169,6 +171,8 @@ object ScalingBench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        // zstd shuffle codec — engine default, see Main.scala rationale
+        .config("spark.io.compression.codec", "zstd")
         // shuffle spill files on tmpfs too — same rationale as the work dir:
         // the sandbox's lone disk is a fixed resource a real cluster scales
         .config("spark.local.dir",

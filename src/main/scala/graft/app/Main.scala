@@ -31,6 +31,13 @@ object Main {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // zstd shuffle compression: the ingest shuffle carries near-full event
+      // rows (content-heavy); zstd's higher ratio relieves the memory/IO
+      // bandwidth the shuffle is bound by at high parallelism (measured at
+      // 64M events: 16-core replay 7% faster than lz4, 4-core 4% slower —
+      // the CPU-bound low-parallelism regime pays, the bandwidth-bound
+      // regime a real multi-executor shuffle lives in wins)
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -73,4 +73,33 @@ class MultiRuleSpec extends AnyFunSuite {
     assert(LakeTable.load(spark, dirA).snapshot.version > vA, "replay commits a fence-only snapshot")
     assert(LakeTable.load(spark, dirB).snapshot.version > vB, "replay commits a fence-only snapshot")
   }
+
+  test("in-log DDLs reach every rule's table (schema changes are table-wide, not filtered)") {
+    val cfgDdl = cfg.copy(seed = 31L, nEvents = 6000L, ddlEvery = 2500L)
+    val logDir = TestSpark.tmpDir("graft-mrd-log")
+    val dirA = TestSpark.tmpDir("graft-mrd-a")
+    val dirB = TestSpark.tmpDir("graft-mrd-b")
+    val ckpt = TestSpark.tmpDir("graft-mrd-ckpt")
+    ChangeLog.write(ChangelogGen.events(spark, cfgDdl), logDir, segmentsPerPartition = 3)
+    LakeTable.create(spark, dirA, numBuckets = 4)
+    LakeTable.create(spark, dirB, numBuckets = 4)
+    val rules = Seq(
+      Rule("a", dirA, Ingest.IngestConfig(
+        filter = FilterChain.empty.add(FilterChain.repoRegex("org/project-0000[0-9]")))),
+      Rule("b", dirB, Ingest.IngestConfig(
+        filter = FilterChain.empty.add(FilterChain.repoRegex("org/project-0001[0-9]")))))
+    StreamIngest.runRulesAvailable(spark, logDir, rules, ckpt, maxFilesPerTrigger = 4)
+    val tA = LakeTable.load(spark, dirA)
+    val tB = LakeTable.load(spark, dirB)
+    // both rules applied both DDLs despite disjoint ROW filters
+    assert(tA.snapshot.ddlSeq === tB.snapshot.ddlSeq && tA.snapshot.ddlSeq > 0,
+      "both tables must carry the same applied-DDL high-water mark")
+    assert(tA.snapshot.schemaId === tB.snapshot.schemaId,
+      "schema evolution must be identical across rules")
+    // and row content still converges per filter
+    val oracle = Oracle.contentSha(Oracle.replay(ChangelogGen.eventsLocal(cfgDdl)))
+      .map { case ((r, p), (sha, _)) => (r, p, sha) }.toSet
+    assert(shaSet(tA) === oracle.filter(_._1.matches("org/project-0000[0-9]")))
+    assert(shaSet(tB) === oracle.filter(_._1.matches("org/project-0001[0-9]")))
+  }
 }
