@@ -37,14 +37,20 @@ object Bench {
   /** Run the CDC ingest over a pre-written changelog; returns elapsed sec.
     * Dirty pages are synced OUTSIDE the timed window and the produced table
     * is deleted afterwards, so one run's writeback cannot stall the next. */
-  def runIngest(spark: SparkSession, logDir: String, workDir: String, streaming: Boolean): Double = {
+  def runIngest(spark: SparkSession, logDir: String, workDir: String, streaming: Boolean,
+      mor: Boolean = false): Double = {
     val tableDir = s"$workDir/table-${System.nanoTime()}"
     val ckptDir = s"$tableDir-ckpt"
     LakeTable.create(spark, tableDir, numBuckets = 64)
     sync()
     val t0 = System.nanoTime()
     if (streaming) {
-      StreamIngest.runAvailable(spark, logDir, tableDir, ckptDir, maxFilesPerTrigger = 16)
+      StreamIngest.runAvailable(spark, logDir, tableDir, ckptDir, maxFilesPerTrigger = 16,
+        cfg = Ingest.IngestConfig(morMode = mor))
+      if (mor) { // fold cost is part of the honest end-to-end MOR number
+        graft.ingest.Mor.fold(LakeTable.load(spark, tableDir))
+        ()
+      }
     } else {
       val table = LakeTable.load(spark, tableDir)
       Ingest.replayLog(table, ChangeLog.readDF(spark, logDir))
@@ -113,8 +119,12 @@ object Bench {
     val batchColdSec = runIngest(spark, logDir, work, streaming = false) // JIT/codegen warmup
     val batchSec = runIngest(spark, logDir, work, streaming = false)
     val streamSec = runIngest(spark, logDir, work, streaming = true)
+    // merge-on-read streaming: delta appends (O(batch)/micro-batch) + one
+    // fold at the end — the MOR write+compact cost, end-to-end
+    val streamMorSec = runIngest(spark, logDir, work, streaming = true, mor = true)
     val evps = cfg.nEvents / batchSec
     val evpsStream = cfg.nEvents / streamSec
+    val evpsStreamMor = cfg.nEvents / streamMorSec
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + batchSec + streamSec
@@ -123,7 +133,8 @@ object Bench {
       s""""cdc":{"events":${cfg.nEvents},"ddl":${cfg.nEvents / math.max(1L, cfg.ddlEvery)},""" +
       s""""replay_sec":$batchSec,"replay_cold_sec":$batchColdSec,""" +
       s""""events_per_sec":${evps.toLong},""" +
-      s""""stream_sec":$streamSec,"stream_events_per_sec":${evpsStream.toLong},"cores":$cpus}}"""
+      s""""stream_sec":$streamSec,"stream_events_per_sec":${evpsStream.toLong},""" +
+      s""""stream_mor_sec":$streamMorSec,"stream_mor_events_per_sec":${evpsStreamMor.toLong},"cores":$cpus}}"""
     println(line)
     // clean machine-readable channel (the driver's sbt-tail scrape is lossy)
     val bdir = java.nio.file.Paths.get("BENCH")

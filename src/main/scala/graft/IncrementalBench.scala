@@ -73,13 +73,43 @@ object IncrementalBench {
       println(f"[incr] batch $b%2d: keys=$keysPerBatch filesRewritten=${r.filesRewritten}%3d/" +
         f"$totalFiles rowsRewritten=$rewrittenRows%7d/$totalRows sec=$sec%5.2f")
     }
+    // ---- merge-on-read: the SAME batches as delta appends + one fold ----
+    // Steady-state write cost: COW pays O(files whose key range is hit) per
+    // batch; MOR pays O(batch) per batch and defers the rewrite to one fold.
+    val morTable = LakeTable.create(spark, s"$work/m", numBuckets = 64,
+      targetFileRows = math.max(1024L, nBase / 64 / 8))
+    MergeApply.merge(morTable, delta(0L until nBase, "insert", 0L), Map.empty)
+    val rnd2 = new scala.util.Random(7) // same key sequence as the COW phase
+    var morSecSum = 0.0; var morRowsSum = 0L
+    (1 to nBatches).foreach { b =>
+      val keys = Iterator.continually(math.abs(rnd2.nextLong()) % nBase)
+        .distinct.take(keysPerBatch).toSeq
+      val t1 = System.nanoTime()
+      val r = MergeApply.appendDelta(morTable, delta(keys, "update", nBase * (b + 1)), Map.empty)
+      morSecSum += (System.nanoTime() - t1) / 1e9
+      morRowsSum += r.eventsApplied
+    }
+    val tRead = System.nanoTime()
+    val morLive = morTable.read().count()
+    val morReadSec = (System.nanoTime() - tRead) / 1e9
+    val tFold = System.nanoTime()
+    graft.ingest.Mor.fold(morTable)
+    val foldSec = (System.nanoTime() - tFold) / 1e9
+    require(morLive == nBase, s"MOR resolution row count $morLive != $nBase")
+    println(f"[incr] MOR: avg append ${morSecSum / nBatches}%5.2f s/batch " +
+      f"(rows appended/batch=$keysPerBatch), resolve-read $morReadSec%5.2f s, " +
+      f"fold $foldSec%5.2f s")
+
     val line =
       f"""{"baseRows":$nBase,"keysPerBatch":$keysPerBatch,"batches":$nBatches,""" +
       f""""totalFiles":$totalFiles,"avgFilesRewritten":${fSum.toDouble / nBatches}%.1f,""" +
       f""""avgRowsRewritten":${rowSum.toDouble / nBatches}%.0f,""" +
       f""""writeAmplification":${rowSum.toDouble / nBatches / keysPerBatch}%.1f,""" +
       f""""tableFractionRewritten":${rowSum.toDouble / nBatches / totalRows}%.4f,""" +
-      f""""avgSec":${secSum / nBatches}%.2f}"""
+      f""""avgSec":${secSum / nBatches}%.2f,""" +
+      f""""morAvgSec":${morSecSum / nBatches}%.2f,""" +
+      f""""morRowsWrittenPerBatch":$keysPerBatch,""" +
+      f""""morResolveReadSec":$morReadSec%.2f,"morFoldSec":$foldSec%.2f}"""
     println(line)
     val p = java.nio.file.Paths.get("BENCH")
     java.nio.file.Files.createDirectories(p)

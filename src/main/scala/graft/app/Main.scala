@@ -45,6 +45,12 @@ object Main {
     finally spark.stop()
   }
 
+  /** GRAFT_MOR=1 switches run/tail into merge-on-read mode (delta-file
+    * appends + read-time resolution; `fold` compacts). */
+  private def defaultCfg: graft.ingest.Ingest.IngestConfig =
+    graft.ingest.Ingest.IngestConfig(
+      morMode = sys.env.get("GRAFT_MOR").exists(v => v == "1" || v == "true"))
+
   private def dispatch(spark: SparkSession, args: Array[String]): Unit = args(0) match {
     case "gen" =>
       val dir = args(1)
@@ -62,8 +68,15 @@ object Main {
       val Array(_, logDir, tableDir, ckptDir) = args.take(4)
       val mft = if (args.length > 4) args(4).toInt else 8
       if (!LakeTable.exists(tableDir)) LakeTable.create(spark, tableDir)
-      StreamIngest.runAvailable(spark, logDir, tableDir, ckptDir, mft)
+      StreamIngest.runAvailable(spark, logDir, tableDir, ckptDir, mft, cfg = defaultCfg)
       report(spark, tableDir)
+
+    case "fold" =>
+      // compact merge-on-read delta files into the base (one COW merge)
+      val table = LakeTable.load(spark, args(1))
+      val r = graft.ingest.Mor.fold(table)
+      println(s"folded: deltaFiles=${r.deltaFilesFolded} events=${r.eventsFolded}")
+      report(spark, args(1))
 
     case "replay" =>
       val Array(_, logDir, tableDir) = args.take(3)
@@ -86,7 +99,8 @@ object Main {
       val mft = if (args.length > 4) args(4).toInt else 8
       if (!LakeTable.exists(tableDir)) LakeTable.create(spark, tableDir)
       val port = sys.env.get("GRAFT_HTTP_PORT").map(_.toInt).getOrElse(0)
-      StreamIngest.tail(spark, logDir, tableDir, ckptDir, mft, httpPort = Some(port))
+      StreamIngest.tail(spark, logDir, tableDir, ckptDir, mft, cfg = defaultCfg,
+        httpPort = Some(port))
       report(spark, tableDir)
 
     case "stop" =>
@@ -150,8 +164,10 @@ object Main {
   private def report(spark: SparkSession, tableDir: String): Unit = {
     val table = LakeTable.load(spark, tableDir)
     val s = table.snapshot
+    val mor = if (s.deltaFiles.isEmpty) ""
+      else s" deltaFiles=${s.deltaFiles.size} deltaEvents=${s.deltaRows}"
     println(s"table=$tableDir version=${s.version} schemaId=${s.schemaId} " +
-      s"files=${s.files.size} buckets=${s.numBuckets} rows~=${s.totalRows} gtid=${s.maxSeq}")
+      s"files=${s.files.size} buckets=${s.numBuckets} rows~=${s.totalRows} gtid=${s.maxSeq}$mor")
     println(s"fence=${s.fence.toSeq.sortBy(_._1).map { case (p, o) => s"$p:$o" }.mkString("{", ", ", "}")}")
     println(s"metrics=${s.metrics.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}")}")
     println(s"liveRows=${table.read().count()}")
@@ -165,8 +181,11 @@ object Main {
       |  stop    <tableDir>
       |  replay  <logDir> <tableDir>
       |  report  <tableDir>
+      |  fold    <tableDir>                 # compact merge-on-read deltas into base
       |  compact <tableDir> [tombstoneHorizonSeq]
       |  rebucket <tableDir> <newBuckets>
       |  expire  <tableDir> [keepSnapshots]
-      |  verify  <logDir> <tableDir>""".stripMargin)
+      |  verify  <logDir> <tableDir>
+      |env: GRAFT_MOR=1 (run/tail append merge-on-read deltas; `fold` compacts),
+      |     GRAFT_HTTP_PORT=<p> (tail control plane), SPARK_GRAFT_CPUS, GRAFT_PROF""".stripMargin)
 }

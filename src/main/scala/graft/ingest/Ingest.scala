@@ -39,6 +39,14 @@ object Ingest {
   final case class IngestConfig(
       filter: FilterChain = FilterChain.passAll,
       salt: Int = 1,
+      /** Merge-on-read mode (Hudi-MOR / Iceberg-v2 analog): row batches are
+        * APPENDED as bucketed delta event files (O(batch) write cost) instead
+        * of copy-on-write merged (O(touched files)); reads resolve deltas by
+        * LWW at query time and `Mor.fold` compacts them back into base files.
+        * The streaming-throughput mode for high-frequency micro-batches whose
+        * keys scatter across the whole table. Exactly-once, fences, DDL
+        * barriers, dead letters and lineage are identical to COW mode. */
+      morMode: Boolean = false,
       /** dedup via explicit two-phase salted aggregation instead of relying
         * on max_by partial aggregation */
       saltedDedup: Int = 0,
@@ -276,12 +284,17 @@ object Ingest {
               val deduped =
                 if (cfg.saltedDedup > 1) Dedup.lastWriterPerKeySalted(rowEvents, cfg.saltedDedup)
                 else Dedup.lastWriterPerKey(rowEvents)
-              val r = MergeApply.merge(table, deduped,
-                fenceDelta = obsFence, batchId = batchId, salt = cfg.salt,
-                extraMetrics =
-                  if (heldN > 0) extra + ("pendingHeldBack" -> heldN) else extra,
-                selection = Some(MergeApply.FileSelection(
-                  Seq.empty, (0 until table.numBuckets).toSet, rowCount - heldN)))
+              val extraM =
+                if (heldN > 0) extra + ("pendingHeldBack" -> heldN) else extra
+              val r =
+                if (cfg.morMode)
+                  MergeApply.appendDelta(table, deduped,
+                    fenceDelta = obsFence, batchId = batchId, extraMetrics = extraM)
+                else MergeApply.merge(table, deduped,
+                  fenceDelta = obsFence, batchId = batchId, salt = cfg.salt,
+                  extraMetrics = extraM,
+                  selection = Some(MergeApply.FileSelection(
+                    Seq.empty, (0 until table.numBuckets).toSet, rowCount - heldN)))
               val fence = obsFence
               val rows = graft.functions.PartitionLongAgg.metricMap(obs.get.apply("perPartRows"))
               (BatchMetrics(batchId, total, dlCount,
@@ -321,7 +334,9 @@ object Ingest {
       // the plan-literal lookup; a large manifest (10^5+ files at 100 TB)
       // goes through a SECOND narrow job with a broadcast range join instead
       // — plan size must stay O(1) in the file count
-      val literalHits = snap0.files.nonEmpty && MergeApply.useLiteralManifest(snap0)
+      // MOR appends never rewrite base files, so hit discovery is skipped
+      val literalHits = !cfg.morMode &&
+        snap0.files.nonEmpty && MergeApply.useLiteralManifest(snap0)
       val aggs =
         if (!literalHits) baseAggs
         else baseAggs :+ collect_set(
@@ -356,7 +371,7 @@ object Ingest {
         if (src >= 0 && total > 0) (src.toDouble * keysHint / total).toLong else -1L
       }
       val hitFiles: Seq[graft.lake.DataFile] =
-        if (snap0.files.isEmpty) Seq.empty
+        if (snap0.files.isEmpty || cfg.morMode) Seq.empty
         else if (literalHits)
           stats.flatMap(_.getSeq[scala.collection.Seq[Int]](9).flatten)
             .distinct.sorted.map(snap0.files)
@@ -401,10 +416,14 @@ object Ingest {
             val m = Map("deadLetters" -> dlCount, "eventsSeen" -> total)
             if (heldTotal > 0) m + ("pendingHeldBack" -> heldTotal) else m
           }
-        val r = MergeApply.merge(table, deduped, fence,
-          batchId = if (isLast) batchId else -1L, salt = cfg.salt,
-          extraMetrics = extras,
-          selection = selection)
+        val r =
+          if (cfg.morMode)
+            MergeApply.appendDelta(table, deduped, fence,
+              batchId = if (isLast) batchId else -1L, extraMetrics = extras)
+          else MergeApply.merge(table, deduped, fence,
+            batchId = if (isLast) batchId else -1L, salt = cfg.salt,
+            extraMetrics = extras,
+            selection = selection)
         applied += r.eventsApplied; tombstones += r.tombstonesWritten
         conflicts += r.conflictsLww
       }

@@ -190,22 +190,8 @@ object MergeApply {
     * else by stable column id through the schema log (rename-safe). Returns
     * (currentColumnName -> imageFieldName, unresolvable image fields). */
   private[ingest] def bindImageFields(
-      snap: Snapshot, imageFields: Set[String]): (Map[String, String], Set[String]) = {
-    val cur = snap.schema
-    val byName: Map[String, String] =
-      imageFields.flatMap(f => cur.find(f).map(_.name -> f)).toMap
-    val byId: Map[String, String] = imageFields
-      .filterNot(byName.valuesIterator.contains)
-      .flatMap { f =>
-        snap.schemas.sortBy(-_.schemaId).iterator
-          .flatMap(_.find(f)).map(_.id).nextOption()
-          .flatMap(cur.findById)
-          .filterNot(c => byName.contains(c.name)) // exact name match wins
-          .map(_.name -> f)
-      }.toMap
-    val resolved = byName ++ byId
-    (resolved, imageFields -- resolved.values)
-  }
+      snap: Snapshot, imageFields: Set[String]): (Map[String, String], Set[String]) =
+    graft.lake.ImageBinding.bind(snap, imageFields)
 
   /** Fallback selection pass (one small job over the delta keys) for callers
     * that did not piggyback selection on their own stats job. */
@@ -262,7 +248,10 @@ object MergeApply {
       batchId: Long = -1L,
       salt: Int = 1,
       extraMetrics: => Map[String, Long] = Map.empty,
-      selection: Option[FileSelection] = None): MergeResult = {
+      selection: Option[FileSelection] = None,
+      /** extra manifest paths dropped in the SAME commit (Mor.fold removes
+        * the folded delta files atomically with the rewritten base). */
+      alsoReplacePaths: Set[String] = Set.empty): MergeResult = {
     // Optimistic-concurrency retry (Iceberg semantics): losing a snapshot
     // version race to a concurrent committer (compaction, rebucket, another
     // writer) re-runs the merge against the REFRESHED snapshot — the passed-in
@@ -272,7 +261,8 @@ object MergeApply {
     var attempt = 0
     var sel = selection
     while (true) {
-      try return mergeOnce(table, delta, fenceDelta, batchId, salt, extraMetrics, sel)
+      try return mergeOnce(table, delta, fenceDelta, batchId, salt, extraMetrics, sel,
+        alsoReplacePaths)
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -287,6 +277,65 @@ object MergeApply {
   /** Bounded optimistic-retry budget for snapshot version races. */
   val MaxCommitAttempts = 5
 
+  /** Merge-on-read WRITE half: append the deduped batch as bucketed delta
+    * EVENT files — no base read, no file selection, no rewrite. Write cost is
+    * O(batch) regardless of how many base files the keys touch (the COW path
+    * rewrites every hit file; a full-key-range micro-batch makes that
+    * O(table) per batch — the reason streaming throughput trailed batch
+    * replay by ~7×). Reads resolve via [[graft.lake.MorRead]]; `Mor.fold`
+    * (compaction) turns the accumulated deltas into one ordinary COW merge.
+    *
+    * `delta` must be one-row-per-key (the caller's LWW dedup), same contract
+    * as [[merge]]. Fence/batchId/exactly-once semantics identical: a retried
+    * batch is skipped by the batchId fence before this is called, so delta
+    * files are never double-appended. */
+  def appendDelta(
+      table: LakeTable,
+      delta: DataFrame,
+      fenceDelta: => Map[Int, Long],
+      batchId: Long = -1L,
+      extraMetrics: => Map[String, Long] = Map.empty): MergeResult = {
+    val spark = table.spark
+    val snap = table.snapshot
+    val sch = snap.schema
+    val commitDir = table.newCommitDataDir()
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = math.max(1, math.min(snap.numBuckets, shufflePartitions))
+    val obs = Observation(s"mor-append-${java.util.UUID.randomUUID()}")
+    val rows = delta
+      .withColumn("_bucket", table.bucketExpr(col("repo"), col("path")))
+      .withColumn(LakeTable.HkeyCol, table.hkeyExpr(col("repo"), col("path")))
+      .repartition(p, col("_bucket"))
+      .sortWithinPartitions(col("_bucket"), col(LakeTable.HkeyCol))
+      .observe(obs,
+        count(lit(1)).as("appended"),
+        sum(when(col("op") === Ops.Delete, 1L).otherwise(0L)).as("deletes"),
+        max(col("seq")).as("maxSeq"))
+    rows.write.mode("overwrite") // commitDir is fresh; overwrite = retry-safe
+      .options(Map("compression" -> "zstd",
+        "maxRecordsPerFile" -> snap.targetFileRows.toString))
+      .partitionBy("_bucket").parquet(commitDir)
+    def metricOf(name: String): Long = obs.get.get(name) match {
+      case Some(v: Long) => v
+      case Some(v: java.lang.Long) => v.longValue()
+      case _ => 0L
+    }
+    val appended = metricOf("appended")
+    val newDeltas = table.listWrittenFiles(commitDir, sch.schemaId)
+    graft.lake.LakeTable.withCommitRetry(table)(
+      table.commit(Set.empty, Seq.empty, fenceDelta,
+        Map("deltaEventsAppended" -> appended,
+          "deltaFilesWritten" -> newDeltas.size.toLong,
+          "batches" -> 1L) ++ extraMetrics,
+        batchId, maxSeq = metricOf("maxSeq"), newDeltaFiles = newDeltas))
+    MergeResult(
+      eventsApplied = appended,
+      upserts = appended - metricOf("deletes"),
+      tombstonesWritten = metricOf("deletes"),
+      conflictsLww = 0, duplicatesIgnored = 0, affectedBuckets = 0,
+      filesRewritten = 0, filesAdded = newDeltas.size)
+  }
+
   private def mergeOnce(
       table: LakeTable,
       delta: DataFrame,
@@ -294,7 +343,8 @@ object MergeApply {
       batchId: Long,
       salt: Int,
       extraMetrics: => Map[String, Long],
-      selection: Option[FileSelection]): MergeResult = {
+      selection: Option[FileSelection],
+      alsoReplacePaths: Set[String] = Set.empty): MergeResult = {
     val spark = table.spark
     val snap = table.snapshot
     val sel = selection.getOrElse(timed("select-files")(selectFiles(table, delta)))
@@ -549,16 +599,17 @@ object MergeApply {
     // re-commit on top of the refreshed snapshot. If any input file was
     // replaced (compaction/rebucket), rethrow: the outer retry redoes the
     // merge against the new manifest.
+    val replaced = sel.files.map(_.path).toSet ++ alsoReplacePaths
     def commitFinal(): Unit =
       try {
-        table.commit(sel.files.map(_.path).toSet, newFiles, fenceDelta, metricsDelta, batchId,
+        table.commit(replaced, newFiles, fenceDelta, metricsDelta, batchId,
           maxSeq = metric(obs, "maxSeq"))
         ()
       } catch {
         case e: CommitConflictException =>
           val live = table.refresh().files.iterator.map(_.path).toSet
           if (sel.files.forall(f => live.contains(f.path)))
-            table.commit(sel.files.map(_.path).toSet, newFiles, fenceDelta, metricsDelta,
+            table.commit(replaced, newFiles, fenceDelta, metricsDelta,
               batchId, maxSeq = metric(obs, "maxSeq"))
           else throw e
       }

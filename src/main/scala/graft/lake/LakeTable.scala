@@ -76,7 +76,8 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
   def read(): DataFrame = read(snap)
 
   def read(s: Snapshot): DataFrame =
-    readInternal(s, s.files)
+    if (s.deltaFiles.nonEmpty) MorRead.resolve(this, s) // merge-on-read path
+    else readInternal(s, s.files)
       .filter(!col("_deleted"))
       .select(s.schema.columns.map(c => col(c.name)): _*)
 
@@ -128,12 +129,19 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
       /** new bucket count — ONLY valid when every file is replaced in the
         * same commit (a rebucket rewrite): a manifest must never mix files
         * bucketed under two different functions. */
-      newNumBuckets: Option[Int] = None): Snapshot = {
+      newNumBuckets: Option[Int] = None,
+      /** merge-on-read delta EVENT files appended by this commit (streaming
+        * MOR mode); `replacedPaths` drops from the delta list too (a
+        * compaction fold replaces base files and removes the folded deltas
+        * in one atomic commit). */
+      newDeltaFiles: Seq[DataFile] = Seq.empty): Snapshot = {
     val cur = snap
     newNumBuckets.foreach { n =>
       require(n > 0, "bucket count must be positive")
       require(cur.files.forall(f => replacedPaths.contains(f.path)),
         "changing numBuckets requires replacing every live file in the same commit")
+      require(cur.deltaFiles.isEmpty && newDeltaFiles.isEmpty,
+        "rebucket requires folding merge-on-read deltas first")
     }
     val schemas =
       newSchema match {
@@ -154,6 +162,7 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
       schemaId = newSchema.map(_.schemaId).getOrElse(cur.schemaId),
       numBuckets = newNumBuckets.getOrElse(cur.numBuckets),
       files = cur.files.filterNot(f => replacedPaths.contains(f.path)) ++ newFiles,
+      deltaFiles = cur.deltaFiles.filterNot(f => replacedPaths.contains(f.path)) ++ newDeltaFiles,
       fence = mergedFence,
       metrics = mergedMetrics,
       committedBatchId = math.max(batchId, cur.committedBatchId),

@@ -42,6 +42,9 @@ object Maintenance {
       tombstoneHorizon: Option[Long],
       force: Boolean): CompactionResult = {
     val snap = table.snapshot
+    require(snap.deltaFiles.isEmpty,
+      "MOR table has unfolded delta files — run graft.ingest.Mor.fold first " +
+        "(compaction reads base files only; folding is itself the MOR compaction)")
     val byBucket = snap.files.groupBy(_.bucket)
     val candidates: Seq[DataFile] = byBucket.valuesIterator
       .filter(fs => force || fs.size > maxFilesPerBucket)
@@ -98,6 +101,8 @@ object Maintenance {
 
   private def rebucketOnce(table: LakeTable, newBuckets: Int): RebucketResult = {
     val snap = table.snapshot
+    require(snap.deltaFiles.isEmpty,
+      "MOR table has unfolded delta files — run graft.ingest.Mor.fold first")
     val oldBuckets = snap.numBuckets
     if (oldBuckets == newBuckets) return RebucketResult(oldBuckets, newBuckets, 0)
     val spark = table.spark
@@ -150,9 +155,11 @@ object Maintenance {
     val retained = versions.takeRight(keep)
     val expired = versions.dropRight(keep)
 
-    // commit-dir basenames referenced by any retained snapshot
+    // commit-dir basenames referenced by any retained snapshot (base AND
+    // merge-on-read delta files — both are live data)
     val referenced: Set[String] = retained.flatMap { v =>
-      table.snapshotAt(v).files.iterator.map { f =>
+      val s = table.snapshotAt(v)
+      (s.files.iterator ++ s.deltaFiles.iterator).map { f =>
         // relative: data/<commitDir>/_bucket=N/part-*.parquet; absolute legacy
         // paths reduce to the same basename via getParent.getParent
         Paths.get(table.resolve(f.path)).getParent.getParent.getFileName.toString

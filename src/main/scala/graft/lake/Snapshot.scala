@@ -58,11 +58,19 @@ final case class Snapshot(
     /** writer splits output files at this many rows (sorted by `_hkey`), so
       * each file covers a narrow key range — the knob that makes min/max
       * pruning effective. */
-    targetFileRows: Long = 1L << 20) {
+    targetFileRows: Long = 1L << 20,
+    /** Merge-on-read delta files (Hudi-MOR / Iceberg-v2 analog): bucketed
+      * Parquet EVENT logs (repo, path, op, seq, after-image) appended by
+      * streaming micro-batches in MOR mode for O(batch) write cost. Reads
+      * resolve them against `files` by last-writer-wins at query time;
+      * compaction folds them into base files through the ordinary COW merge
+      * and drops them. Empty for pure copy-on-write tables. */
+    deltaFiles: Seq[DataFile] = Seq.empty) {
 
   def schema: TableSchema = schemas.find(_.schemaId == schemaId).get
   def schemaById(id: Int): TableSchema = schemas.find(_.schemaId == id).get
   def totalRows: Long = files.iterator.map(_.rows).sum
+  def deltaRows: Long = deltaFiles.iterator.map(_.rows).sum
   def filesOf(buckets: Set[Int]): Seq[DataFile] = files.filter(f => buckets.contains(f.bucket))
 
   def toJson: String = Json.obj(
@@ -75,21 +83,26 @@ final case class Snapshot(
     "maxSeq" -> maxSeq.toString,
     "targetFileRows" -> targetFileRows.toString,
     "tsMillis" -> tsMillis.toString,
-    "files" -> Json.arrOf(files.sortBy(f => (f.bucket, f.minKey, f.path)).map { f =>
-      Json.obj(
-        "bucket" -> f.bucket.toString,
-        "path" -> Json.quote(f.path),
-        "schemaId" -> f.schemaId.toString,
-        "rows" -> f.rows.toString,
-        "minKey" -> f.minKey.toString,
-        "maxKey" -> f.maxKey.toString)
-    }),
+    "files" -> Json.arrOf(files.sortBy(f => (f.bucket, f.minKey, f.path)).map(fileJson)),
+    "deltaFiles" -> Json.arrOf(deltaFiles.sortBy(f => (f.bucket, f.minKey, f.path)).map(fileJson)),
     "fence" -> Json.obj(fence.toSeq.sortBy(_._1).map { case (p, o) => p.toString -> o.toString }: _*),
     "metrics" -> Json.obj(metrics.toSeq.sorted.map { case (k, v) => k -> v.toString }: _*),
     "schemas" -> Json.arrOf(schemas.map(_.toJson)))
+
+  private def fileJson(f: DataFile): String = Json.obj(
+    "bucket" -> f.bucket.toString,
+    "path" -> Json.quote(f.path),
+    "schemaId" -> f.schemaId.toString,
+    "rows" -> f.rows.toString,
+    "minKey" -> f.minKey.toString,
+    "maxKey" -> f.maxKey.toString)
 }
 
 object Snapshot {
+  private def fileFromJson(f: com.fasterxml.jackson.databind.JsonNode): DataFile =
+    DataFile(Json.int(f, "bucket"), Json.str(f, "path"), Json.int(f, "schemaId"),
+      Json.long(f, "rows"), Json.long(f, "minKey"), Json.long(f, "maxKey"))
+
   def fromJson(s: String): Snapshot = {
     val n = Json.parse(s)
     Snapshot(
@@ -97,10 +110,9 @@ object Snapshot {
       parentVersion = Json.long(n, "parentVersion"),
       schemaId = Json.int(n, "schemaId"),
       numBuckets = Json.int(n, "numBuckets"),
-      files = Json.arr(n, "files").map { f =>
-        DataFile(Json.int(f, "bucket"), Json.str(f, "path"), Json.int(f, "schemaId"),
-          Json.long(f, "rows"), Json.long(f, "minKey"), Json.long(f, "maxKey"))
-      },
+      files = Json.arr(n, "files").map(fileFromJson),
+      deltaFiles =
+        if (n.has("deltaFiles")) Json.arr(n, "deltaFiles").map(fileFromJson) else Seq.empty,
       fence = Json.objFields(n, "fence").map { case (k, v) => k.toInt -> v.asLong() }.toMap,
       metrics = Json.objFields(n, "metrics").map { case (k, v) => k -> v.asLong() }.toMap,
       committedBatchId = Json.long(n, "committedBatchId"),

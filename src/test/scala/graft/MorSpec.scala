@@ -1,0 +1,135 @@
+package graft
+
+import graft.gen.{ChangelogGen, GenConfig, Oracle}
+import graft.ingest.{Ingest, MergeApply, Mor}
+import graft.lake.LakeTable
+import graft.log.ChangeLog
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Merge-on-read mode (Hudi-MOR / Iceberg-v2 analog): micro-batches append
+  * bucketed delta EVENT files (O(batch) write cost); reads resolve deltas
+  * against base by LWW with the COW merge's exact column semantics;
+  * `Mor.fold` compacts deltas back into base through the ordinary COW merge.
+  *
+  * The load-bearing property: ANY interleaving of COW merges, MOR appends,
+  * folds, and stale replays must read identically to the pure-COW table.
+  */
+class MorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def shaSet(table: LakeTable): Set[(String, String, String)] =
+    table.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+  private val cfg = GenConfig(seed = 37L, nEvents = 10000L, nRepos = 25,
+    pathsPerRepo = 10, nPartitions = 4, contentLen = 60)
+
+  test("MOR streaming converges to the oracle; fold preserves content and empties the delta list") {
+    val logDir = TestSpark.tmpDir("graft-mor-log")
+    val tableDir = TestSpark.tmpDir("graft-mor-table")
+    val ckpt = TestSpark.tmpDir("graft-mor-ckpt")
+    ChangeLog.write(ChangelogGen.events(spark, cfg), logDir, segmentsPerPartition = 4)
+    LakeTable.create(spark, tableDir, numBuckets = 8)
+
+    StreamIngest.runAvailable(spark, logDir, tableDir, ckpt, maxFilesPerTrigger = 4,
+      cfg = Ingest.IngestConfig(morMode = true))
+
+    val oracle = Oracle.contentSha(Oracle.replay(ChangelogGen.eventsLocal(cfg)))
+      .map { case ((r, p), (sha, _)) => (r, p, sha) }.toSet
+    val t = LakeTable.load(spark, tableDir)
+    assert(t.snapshot.deltaFiles.nonEmpty, "MOR mode must have produced delta files")
+    assert(t.snapshot.files.isEmpty, "MOR mode must not have rewritten base files")
+    assert(shaSet(t) === oracle, "merge-on-read resolution must equal the oracle")
+
+    // batch replay of the fully-applied log is fenced to a no-op (the
+    // orderedDelivery contract, same as CLI `replay`) — exactly-once in MOR
+    val deltasBefore = t.snapshot.deltaFiles.size
+    val r = Ingest.replayLog(t, ChangeLog.readDF(spark, logDir),
+      Ingest.IngestConfig(morMode = true, orderedDelivery = true))
+    assert(r.eventsApplied === 0, "replay must be fenced out")
+    assert(t.refresh().deltaFiles.size === deltasBefore, "no delta double-append")
+
+    // fold: content identical, deltas gone, base populated, compact now legal
+    val fr = Mor.fold(t)
+    assert(fr.deltaFilesFolded === deltasBefore)
+    val folded = LakeTable.load(spark, tableDir)
+    assert(folded.snapshot.deltaFiles.isEmpty)
+    assert(folded.snapshot.files.nonEmpty)
+    assert(shaSet(folded) === oracle, "fold must not change the table's content")
+    graft.lake.Maintenance.compact(folded, force = true)
+    assert(shaSet(LakeTable.load(spark, tableDir)) === oracle)
+  }
+
+  test("MOR equals COW on the same log, including with in-stream DDLs") {
+    val cfgDdl = cfg.copy(seed = 41L, nEvents = 8000L, ddlEvery = 3000L)
+    val logDir = TestSpark.tmpDir("graft-morddl-log")
+    ChangeLog.write(ChangelogGen.events(spark, cfgDdl), logDir, segmentsPerPartition = 3)
+
+    val cowDir = TestSpark.tmpDir("graft-morddl-cow")
+    LakeTable.create(spark, cowDir, numBuckets = 8)
+    StreamIngest.runAvailable(spark, logDir, cowDir, TestSpark.tmpDir("graft-morddl-ck1"),
+      maxFilesPerTrigger = 4)
+
+    val morDir = TestSpark.tmpDir("graft-morddl-mor")
+    LakeTable.create(spark, morDir, numBuckets = 8)
+    StreamIngest.runAvailable(spark, logDir, morDir, TestSpark.tmpDir("graft-morddl-ck2"),
+      maxFilesPerTrigger = 4, cfg = Ingest.IngestConfig(morMode = true))
+
+    val cow = LakeTable.load(spark, cowDir)
+    val mor = LakeTable.load(spark, morDir)
+    assert(mor.snapshot.schemaId === cow.snapshot.schemaId, "DDLs must evolve MOR schema too")
+    assert(shaSet(mor) === shaSet(cow), "MOR read must equal the COW table")
+    Mor.fold(mor)
+    assert(shaSet(LakeTable.load(spark, morDir)) === shaSet(cow), "post-fold too")
+  }
+
+  test("MOR resolution preserves uncarried columns and absorbs stale replays after a delete") {
+    val tableDir = TestSpark.tmpDir("graft-mor2-table")
+    val table = LakeTable.create(spark, tableDir, numBuckets = 4)
+    table.evolveSchema(_.addColumn("stars", "int"))
+
+    // seed via COW a wide row holding an uncarried-column value
+    val wide = spark.createDataFrame(Seq(("r1", "p1", "c0", "scala", "v0", 5)))
+      .toDF("repo", "path", "commit", "lang", "content", "stars")
+      .select(col("repo"), col("path"), lit("insert").as("op"), lit(1L).as("seq"),
+        struct(col("repo"), col("path"), col("commit"), col("lang"),
+          col("content"), col("stars")).as("after"))
+    MergeApply.merge(table, wide, Map.empty)
+
+    // a 5-column-image update arrives as a MOR delta: stars must survive
+    val upd = spark.createDataFrame(Seq(("r1", "p1", "c1", "scala", "v1")))
+      .toDF("repo", "path", "commit", "lang", "content")
+      .select(col("repo"), col("path"), lit("update").as("op"), lit(2L).as("seq"),
+        struct(col("repo"), col("path"), col("commit"), col("lang"), col("content")).as("after"))
+    MergeApply.appendDelta(table, upd, Map.empty)
+    val r1 = table.read().select("content", "stars").collect()(0)
+    assert(r1.getString(0) === "v1", "MOR read must apply the delta's after-image")
+    assert(r1.getInt(1) === 5, "MOR read must preserve columns absent from the image")
+
+    // delete lands as a second delta; a STALE update (lower seq) appended
+    // afterwards must not resurrect the row — LWW across delta files
+    val del = spark.createDataFrame(Seq(("r1", "p1")))
+      .toDF("repo", "path")
+      .select(col("repo"), col("path"), lit("delete").as("op"), lit(9L).as("seq"),
+        lit(null).cast(graft.model.Schemas.repoRow).as("after"))
+    MergeApply.appendDelta(table, del, Map.empty)
+    assert(table.read().count() === 0, "winning delete suppresses the row at read")
+    val stale = spark.createDataFrame(Seq(("r1", "p1", "cS", "scala", "vS")))
+      .toDF("repo", "path", "commit", "lang", "content")
+      .select(col("repo"), col("path"), lit("update").as("op"), lit(3L).as("seq"),
+        struct(col("repo"), col("path"), col("commit"), col("lang"), col("content")).as("after"))
+    MergeApply.appendDelta(table, stale, Map.empty)
+    assert(table.read().count() === 0, "stale replay must not resurrect a deleted row")
+
+    // fold writes the tombstone into base so it keeps absorbing post-fold
+    Mor.fold(table)
+    val folded = LakeTable.load(spark, tableDir)
+    assert(folded.snapshot.deltaFiles.isEmpty)
+    assert(folded.read().count() === 0)
+    MergeApply.merge(folded, stale, Map.empty) // COW stale replay vs folded tombstone
+    assert(folded.read().count() === 0, "folded tombstone must absorb stale COW replays too")
+  }
+}
