@@ -49,7 +49,8 @@ object Main {
     * appends + read-time resolution; `fold` compacts). */
   private def defaultCfg: graft.ingest.Ingest.IngestConfig =
     graft.ingest.Ingest.IngestConfig(
-      morMode = sys.env.get("GRAFT_MOR").exists(v => v == "1" || v == "true"))
+      morMode = sys.env.get("GRAFT_MOR").exists(v => v == "1" || v == "true"),
+      morFoldEvery = sys.env.get("GRAFT_MOR_FOLD_EVERY").map(_.toInt).getOrElse(0))
 
   private def dispatch(spark: SparkSession, args: Array[String]): Unit = args(0) match {
     case "gen" =>

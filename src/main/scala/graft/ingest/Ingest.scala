@@ -47,6 +47,13 @@ object Ingest {
         * keys scatter across the whole table. Exactly-once, fences, DDL
         * barriers, dead letters and lineage are identical to COW mode. */
       morMode: Boolean = false,
+      /** In MOR mode, fold delta files into base every N micro-batches
+        * (0 = never; fold manually via `Mor.fold`/CLI `fold`). The fold
+        * cadence bounds read amplification AND delta-file count — the MOR
+        * compaction-scheduling knob (Hudi's compaction trigger analog).
+        * Folding is concurrency-safe beside the appends (optimistic retry;
+        * late appends survive by path-level replacement). */
+      morFoldEvery: Int = 0,
       /** dedup via explicit two-phase salted aggregation instead of relying
         * on max_by partial aggregation */
       saltedDedup: Int = 0,

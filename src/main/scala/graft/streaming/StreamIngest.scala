@@ -70,6 +70,13 @@ object StreamIngest {
         if (stopMarkerAtBoundary.exists(java.nio.file.Files.exists(_)))
           throw new StreamIngest.GracefulStopException
         Ingest.applyBatch(table, batch, batchId, cfg)
+        // MOR compaction cadence: fold is idempotent and fenced like any
+        // commit, so a crash-retry of this batch at worst re-folds a no-op
+        if (cfg.morMode && cfg.morFoldEvery > 0 && batchId > 0 &&
+            batchId % cfg.morFoldEvery == 0) {
+          graft.ingest.Mor.fold(table)
+          ()
+        }
         ()
       }
       .start()

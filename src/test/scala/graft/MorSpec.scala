@@ -63,6 +63,21 @@ class MorSpec extends AnyFunSuite {
     assert(shaSet(LakeTable.load(spark, tableDir)) === oracle)
   }
 
+  test("auto-fold cadence: morFoldEvery bounds the delta backlog and still converges") {
+    val logDir = TestSpark.tmpDir("graft-morf-log")
+    val tableDir = TestSpark.tmpDir("graft-morf-table")
+    ChangeLog.write(ChangelogGen.events(spark, cfg), logDir, segmentsPerPartition = 4)
+    LakeTable.create(spark, tableDir, numBuckets = 8)
+    StreamIngest.runAvailable(spark, logDir, tableDir, TestSpark.tmpDir("graft-morf-ck"),
+      maxFilesPerTrigger = 4, cfg = Ingest.IngestConfig(morMode = true, morFoldEvery = 2))
+    val t = LakeTable.load(spark, tableDir)
+    assert(t.snapshot.files.nonEmpty, "auto-fold must have produced base files")
+    assert(t.snapshot.metrics.getOrElse("morFolds", 0L) >= 1L, "at least one fold ran")
+    val oracle = Oracle.contentSha(Oracle.replay(ChangelogGen.eventsLocal(cfg)))
+      .map { case ((r, p), (sha, _)) => (r, p, sha) }.toSet
+    assert(shaSet(t) === oracle)
+  }
+
   test("MOR equals COW on the same log, including with in-stream DDLs") {
     val cfgDdl = cfg.copy(seed = 41L, nEvents = 8000L, ddlEvery = 3000L)
     val logDir = TestSpark.tmpDir("graft-morddl-log")
