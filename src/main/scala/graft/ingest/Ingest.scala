@@ -426,7 +426,9 @@ object Ingest {
         val r =
           if (cfg.morMode)
             MergeApply.appendDelta(table, deduped, fence,
-              batchId = if (isLast) batchId else -1L, extraMetrics = extras)
+              batchId = if (isLast) batchId else -1L, extraMetrics = extras,
+              // a barrier-DDL segment's seq range may hold no rows
+              mayBeEmpty = !wholeBatch)
           else MergeApply.merge(table, deduped, fence,
             batchId = if (isLast) batchId else -1L, salt = cfg.salt,
             extraMetrics = extras,

@@ -294,10 +294,21 @@ object MergeApply {
       delta: DataFrame,
       fenceDelta: => Map[Int, Long],
       batchId: Long = -1L,
-      extraMetrics: => Map[String, Long] = Map.empty): MergeResult = {
+      extraMetrics: => Map[String, Long] = Map.empty,
+      /** true when the caller cannot rule out an empty delta (e.g. a
+        * barrier-DDL segment with no rows in its seq range) — costs one
+        * small pre-count job; an empty observed write risks the AQE
+        * empty-relation/CollectMetrics hazard and a junk commit. */
+      mayBeEmpty: Boolean = false): MergeResult = {
     val spark = table.spark
     val snap = table.snapshot
     val sch = snap.schema
+    if (mayBeEmpty && delta.isEmpty) {
+      graft.lake.LakeTable.withCommitRetry(table)(
+        table.commit(Set.empty, Seq.empty, fenceDelta,
+          extraMetrics + ("batches" -> 1L), batchId))
+      return MergeResult(0, 0, 0, 0, 0, 0, 0, 0)
+    }
     val commitDir = table.newCommitDataDir()
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val p = math.max(1, math.min(snap.numBuckets, shufflePartitions))

@@ -101,6 +101,64 @@ class MorSpec extends AnyFunSuite {
     assert(shaSet(LakeTable.load(spark, morDir)) === shaSet(cow), "post-fold too")
   }
 
+  test("barrier DDLs (image-column renames) split MOR batches; empty segments commit cleanly") {
+    import org.apache.spark.sql.DataFrame
+    val repoRow = graft.model.Schemas.repoRow
+    def rowEv(offset: Long, seq: Long, repo: String, path: String, content: String): DataFrame = {
+      import spark.implicits._
+      Seq((offset, seq, repo, path, content)).toDF("offset", "seq", "repo", "path", "content")
+        .select(lit(0).as("partition"), col("offset"), col("seq"),
+          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"),
+          lit("insert").as("op"), col("repo"), col("path"),
+          lit(null).cast(repoRow).as("before"),
+          struct(col("repo"), col("path"), lit("c0").as("commit"),
+            lit("scala").as("lang"), col("content")).as("after"),
+          lit(null).cast(graft.model.Schemas.ddlOp).as("ddl"))
+    }
+    def renameEv(offset: Long, seq: Long, from: String, to: String): DataFrame = {
+      import spark.implicits._
+      Seq((offset, seq)).toDF("offset", "seq")
+        .select(lit(0).as("partition"), col("offset"), col("seq"),
+          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"),
+          lit("ddl").as("op"),
+          lit(null).cast("string").as("repo"), lit(null).cast("string").as("path"),
+          lit(null).cast(repoRow).as("before"), lit(null).cast(repoRow).as("after"),
+          struct(lit("rename_column").as("kind"), lit(from).as("column"),
+            lit(to).as("newName"), lit(null).cast("string").as("fromType"),
+            lit(null).cast("string").as("toType")).as("ddl"))
+    }
+    // rows seq 1-3; TWO barrier DDLs back-to-back (seq 4, 5) — the segment
+    // strictly between them holds NO rows; rows seq 6-7 after (their images
+    // still carry the OLD field names, bound by column id)
+    val batch = Seq(
+      rowEv(0, 1, "r1", "p1", "v1"), rowEv(1, 2, "r2", "p2", "v2"),
+      rowEv(2, 3, "r3", "p3", "v3"),
+      renameEv(3, 4, "lang", "language"), renameEv(4, 5, "commit", "sha"),
+      rowEv(5, 6, "r1", "p1", "v6"), rowEv(6, 7, "r4", "p4", "v7")
+    ).reduce(_ union _)
+
+    def runMode(mor: Boolean): LakeTable = {
+      val dir = TestSpark.tmpDir(s"graft-morbar-$mor")
+      val t = LakeTable.create(spark, dir, numBuckets = 4)
+      val bm = Ingest.applyBatch(t, batch, batchId = 0,
+        Ingest.IngestConfig(morMode = mor))
+      assert(bm.ddlApplied === 2)
+      if (mor) { assert(t.snapshot.deltaFiles.nonEmpty); Mor.fold(t); () }
+      LakeTable.load(spark, dir)
+    }
+    val cow = runMode(mor = false)
+    val mor = runMode(mor = true)
+    def state(t: LakeTable) = t.read()
+      .select(col("repo"), col("path"), col("sha"), col("language"), col("content"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(mor.schema.columns.map(_.name) === cow.schema.columns.map(_.name))
+    assert(state(mor) === state(cow), "MOR barrier-split result must equal COW")
+    assert(state(mor).exists { case (r, _, sha, lang, c) =>
+      r == "r1" && c == "v6" && sha == "c0" && lang == "scala" },
+      "post-DDL row's old-named image fields must bind to the renamed columns")
+  }
+
   test("MOR resolution preserves uncarried columns and absorbs stale replays after a delete") {
     val tableDir = TestSpark.tmpDir("graft-mor2-table")
     val table = LakeTable.create(spark, tableDir, numBuckets = 4)
