@@ -1,7 +1,7 @@
 package graft.lake
 
 import graft.model.Ops
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -16,15 +16,26 @@ import org.apache.spark.sql.types.StructType
   * PRESERVE uncarried columns from the base row (the same rename-safe
   * [[ImageBinding]] both paths share). MorSpec asserts read-resolution ==
   * COW result on identical inputs, including the uncarried-column and
-  * stale-replay-tombstone cases.
+  * stale-replay-tombstone cases, and that both physical shapes below agree.
   *
-  * Scale shape: base scans stay pruned/columnar; the delta side is bounded
-  * by compaction cadence (fold turns this whole resolution into the ordinary
-  * bucket-aligned COW merge). The full-outer join shuffles both sides by the
-  * join key at read time — the read-amplification HALF of the MOR tradeoff,
-  * paid to make streaming writes O(batch) instead of O(touched files).
+  * Two physical shapes, mirroring the COW merge's strategy choice:
+  *  - '''broadcast''' (delta winners ≤ [[graft lake broadcast threshold]] —
+  *    the common between-folds state, bounded by `snapshot.deltaRows`):
+  *    base LEFT OUTER broadcast(delta) + keys-only anti-join insert residue.
+  *    The base is NEVER shuffled — at 100 TB the read costs one base scan
+  *    plus a broadcast, not a table-wide exchange.
+  *  - '''full-outer shuffle''' for large unfolded backlogs (full-outer
+  *    broadcast joins are unsupported in Spark, so both sides exchange on
+  *    the key).
+  * Read amplification overall is bounded by fold cadence (fold turns this
+  * whole resolution into the ordinary bucket-aligned COW merge).
   */
 object MorRead {
+
+  /** Above this many delta EVENT rows (an upper bound on distinct winners,
+    * known exactly from the snapshot — no counting job) the broadcast shape
+    * is abandoned. Same sizing rationale as MergeApply.BroadcastDeltaMaxRows. */
+  val BroadcastWinnersMaxRows = 100000L
 
   /** The deduped winning event per key across all delta files. */
   def deltaWinners(table: LakeTable, s: Snapshot): DataFrame = {
@@ -41,8 +52,9 @@ object MorRead {
         col("_w.op").as("op"), col("_w.seq").as("seq"), col("_w.after").as("after"))
   }
 
-  /** Current rows of a MOR snapshot: base ⟗ deduped-deltas, resolved. */
-  def resolve(table: LakeTable, s: Snapshot): DataFrame = {
+  /** Current rows of a MOR snapshot: base resolved against deduped deltas. */
+  def resolve(table: LakeTable, s: Snapshot,
+      broadcastMaxRows: Long = BroadcastWinnersMaxRows): DataFrame = {
     val sch = s.schema
     val d0 = deltaWinners(table, s)
     val imageFields: Set[String] = d0.schema("after").dataType match {
@@ -52,34 +64,52 @@ object MorRead {
     val (imageBinding, _) = ImageBinding.bind(s, imageFields)
     def imageField(c: String): Option[String] = imageBinding.get(c)
 
+    val isDel = col("d.op") === Ops.Delete
+
+    /** The COW merge's column resolution; `bCol` abstracts over whether a
+      * base row exists (join-matched) or is known absent (insert residue). */
+    def outCols(bCol: String => Column, dWins: Column, baseSeq: Column): Seq[Column] =
+      sch.columns.map { c =>
+        val tp = TableSchema.toSpark(c.dataType)
+        if (c.name == "repo" || c.name == "path")
+          coalesce(col(s"d.${c.name}"), bCol(c.name)).as(c.name)
+        else imageField(c.name) match {
+          case Some(f) =>
+            when(dWins && !isDel, col(s"d.after.$f").cast(tp))
+              .when(dWins && isDel, lit(null).cast(tp))
+              .otherwise(bCol(c.name)).as(c.name)
+          case None => // column not carried by the image: preserve current value
+            when(dWins && isDel, lit(null).cast(tp))
+              .otherwise(bCol(c.name)).as(c.name)
+        }
+      } ++ Seq(
+        when(dWins, col("d.seq")).otherwise(baseSeq).as(LakeTable.SeqCol),
+        when(dWins, isDel).otherwise(coalesce(bCol(LakeTable.DeletedCol), lit(false)))
+          .as(LakeTable.DeletedCol))
+
     val b = table.readInternal(s, s.files).alias("b")
     val d = d0.alias("d")
-    val joined = b.join(d,
-      col("b.repo") === col("d.repo") && col("b.path") === col("d.path"),
-      "full_outer")
-
     val baseSeq = col(s"b.${LakeTable.SeqCol}")
     val dWins = col("d.seq").isNotNull && (baseSeq.isNull || col("d.seq") > baseSeq)
-    val isDel = col("d.op") === Ops.Delete
-    val outCols = sch.columns.map { c =>
-      val tp = TableSchema.toSpark(c.dataType)
-      if (c.name == "repo" || c.name == "path")
-        coalesce(col(s"d.${c.name}"), col(s"b.${c.name}")).as(c.name)
-      else imageField(c.name) match {
-        case Some(f) =>
-          when(dWins && !isDel, col(s"d.after.$f").cast(tp))
-            .when(dWins && isDel, lit(null).cast(tp))
-            .otherwise(col(s"b.${c.name}")).as(c.name)
-        case None => // column not carried by the image: preserve current value
-          when(dWins && isDel, lit(null).cast(tp))
-            .otherwise(col(s"b.${c.name}")).as(c.name)
-      }
-    } ++ Seq(
-      when(dWins, col("d.seq")).otherwise(baseSeq).as(LakeTable.SeqCol),
-      when(dWins, isDel).otherwise(coalesce(col(s"b.${LakeTable.DeletedCol}"), lit(false)))
-        .as(LakeTable.DeletedCol))
+    val keyCond = col("b.repo") === col("d.repo") && col("b.path") === col("d.path")
 
-    joined.select(outCols: _*)
+    val resolvedInternal =
+      if (s.deltaRows <= broadcastMaxRows) {
+        // broadcast shape: the base side keeps its scan partitioning (no
+        // exchange); full-outer is decomposed into matched + insert residue
+        // exactly like the COW merge's broadcast-incremental strategy
+        val matched = b.join(broadcast(d), keyCond, "left_outer")
+          .select(outCols(n => col(s"b.$n"), dWins, baseSeq): _*)
+        val baseKeys = table.readInternal(s, s.files).select(col("repo"), col("path"))
+        val inserts = d0.join(baseKeys, Seq("repo", "path"), "left_anti").alias("d")
+          .select(outCols(n => lit(null), lit(true), lit(null).cast("long")): _*)
+        matched.unionByName(inserts)
+      } else {
+        b.join(d, keyCond, "full_outer")
+          .select(outCols(n => col(s"b.$n"), dWins, baseSeq): _*)
+      }
+
+    resolvedInternal
       .filter(!col(LakeTable.DeletedCol))
       .select(sch.columns.map(c => col(c.name)): _*)
   }

@@ -197,12 +197,28 @@ class MorSpec extends AnyFunSuite {
     MergeApply.appendDelta(table, stale, Map.empty)
     assert(table.read().count() === 0, "stale replay must not resurrect a deleted row")
 
+    // both physical resolution shapes (broadcast decomposition vs full-outer
+    // shuffle) must agree — here on a table holding live rows AND a tombstone
+    val other = spark.createDataFrame(Seq(("r9", "p9", "c9", "scala", "v9")))
+      .toDF("repo", "path", "commit", "lang", "content")
+      .select(col("repo"), col("path"), lit("insert").as("op"), lit(20L).as("seq"),
+        struct(col("repo"), col("path"), col("commit"), col("lang"), col("content")).as("after"))
+    MergeApply.appendDelta(table, other, Map.empty)
+    val snapNow = table.refresh()
+    def shape(maxRows: Long) = graft.lake.MorRead.resolve(table, snapNow, maxRows)
+      .collect().map(_.toString).toSet
+    assert(shape(Long.MaxValue) === shape(0L),
+      "broadcast and full-outer MOR resolutions must be identical")
+    assert(shape(0L).exists(_.contains("r9")))
+
     // fold writes the tombstone into base so it keeps absorbing post-fold
+    // (the only live row is the unrelated r9 probe inserted above)
     Mor.fold(table)
     val folded = LakeTable.load(spark, tableDir)
     assert(folded.snapshot.deltaFiles.isEmpty)
-    assert(folded.read().count() === 0)
+    assert(folded.read().collect().map(_.getString(0)).toSeq === Seq("r9"))
     MergeApply.merge(folded, stale, Map.empty) // COW stale replay vs folded tombstone
-    assert(folded.read().count() === 0, "folded tombstone must absorb stale COW replays too")
+    assert(folded.read().collect().map(_.getString(0)).toSeq === Seq("r9"),
+      "folded tombstone must absorb stale COW replays too")
   }
 }
