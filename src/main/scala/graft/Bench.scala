@@ -75,6 +75,7 @@ object Bench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // zstd shuffle codec — engine default, see Main.scala rationale
       .config("spark.io.compression.codec", "zstd")
       // shuffle spill files on tmpfs — same fixed-shared-disk rationale as
@@ -182,6 +183,7 @@ object ScalingBench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         // zstd shuffle codec — engine default, see Main.scala rationale
         .config("spark.io.compression.codec", "zstd")
         // shuffle spill files on tmpfs too — same rationale as the work dir:

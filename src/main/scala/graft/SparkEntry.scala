@@ -221,8 +221,8 @@ object SparkEntry {
     t(s, dir, "documents")
       .select(col("doc_id"), md5(col("text")).as("fp"), col("n_chars"))
 
-  /** Quality scoring: pure length/占位 arithmetic (identical semantics in
-    * DuckDB, so hash-comparable). */
+  /** Quality scoring: pure length/punctuation arithmetic (identical semantics
+    * in DuckDB, so hash-comparable). */
   private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
     val nChar = length(txt)
@@ -383,16 +383,21 @@ object SparkEntry {
     // assignment is a pure map via the VecArgMaxCos kernel (argmax of
     // round(cos·1e9), ties → lowest cent_id; identical ordering to the
     // row_number-over-(cos9 desc, cent_id) formulation it replaces) —
-    // no crossJoin, no window shuffle. Materialized once: it feeds BOTH the
-    // probe selection and the candidate join below.
+    // no crossJoin, no window shuffle. The centroid matrix rides a Broadcast
+    // handle, NOT the plan (at C ~ √N a baked matrix is 10-100 MB inside
+    // every task closure); unpersisted right after the eager checkpoint.
+    // Materialized once: it feeds BOTH the probe selection and the candidate
+    // join below.
     val cnorms = trained.map { case (_, cv) =>
       var acc = 0.0; cv.foreach(x => acc += x * x); math.sqrt(acc)
     }
+    val bc = VecExprs.broadcastCentroids(s, trained.map(_._2), cnorms)
     val assigned = e
       .withColumn("cent_id", element_at(typedlit(trained.map(_._1)),
-        VecExprs.argMaxCos(col("embedding"), trained.map(_._2), cnorms) + 1))
+        VecExprs.argMaxCosBroadcast(col("embedding"), bc) + 1))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
       .localCheckpoint(true)
+    bc.unpersist(blocking = false)
     val probes = assigned.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
       .crossJoin(broadcast(cents))
@@ -419,37 +424,34 @@ object SparkEntry {
   private val IvfLloydIters = 2
 
   /** Corpus-size-scaled sketch width for the embedding near-dup gate:
-    * bits = min(16, bitlength(max(1, N / targetBucket))) — i.e. roughly
+    * bits = min(24, bitlength(max(1, N / targetBucket))) — i.e. roughly
     * log2(N / 64), so the expected bucket size stays ~64 at ANY corpus size
-    * instead of going N²/2^bits-quadratic with a frozen width. Integer-exact
-    * (bin/length, no float log), so the oracle derives the identical width
-    * from its own count(*). */
+    * instead of going N²/2^bits-quadratic with a frozen width. The 24-bit
+    * ceiling (up from round 3's 16: 2^16·cap collided with real corpus sizes
+    * — every bucket oversized ⇒ the cap silently dropped everything) covers
+    * ~10^9 vectors at the default 64-row target; past it the BANDS below
+    * keep recall from collapsing. Integer-exact (bin/length, no float log),
+    * so the oracle derives the identical width from its own count(*). */
   private def nearDupBits(n: Long): Int =
-    math.min(16, java.lang.Long.toBinaryString(math.max(1L, n / 64L)).length)
+    math.min(24, java.lang.Long.toBinaryString(math.max(1L, n / 64L)).length)
 
-  /** Embedding-cosine near-duplicate pairs: candidates share a hyperplane
-    * bucket whose width SCALES with the corpus (see [[nearDupBits]]; the
-    * sub-quadratic gate — recall < 1 by construction, like any LSH
-    * near-dup), degenerate buckets are capped like TextDedup's, and the
-    * survivors verify by exact cosine ≥ 0.40. */
+  /** Independent sketch tables for the banded near-dup gate (pair survives if
+    * it meets in ANY band — a band whose bucket degenerates drops rows from
+    * that band only). */
+  private val NearDupBands = 2
+
+  /** Embedding-cosine near-duplicate pairs: BANDED hyperplane gate
+    * ([[graft.functions.AnnSearch.embedNearDupPairs]]) whose width scales
+    * with the corpus (see [[nearDupBits]]; recall < 1 by construction, like
+    * any LSH near-dup), degenerate buckets capped per band, survivors
+    * verified by exact cosine ≥ 0.40. */
   private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{AnnSearch, TextDedup}
     val corpus = t(s, dir, "embeddings")
     val bits = nearDupBits(corpus.count())
-    val e = corpus.select(col("vec_id"), col("embedding"),
-      AnnSearch.l2norm(col("embedding")).as("nrm"),
-      AnnSearch.hyperplaneSketch(col("embedding"), bits, AnnSearch.OracleDim).as("bucket"))
-    // degenerate-bucket cap: broadcast anti-join of the (tiny) oversized set,
-    // never a window over the skewed bucket key
-    val oversized = e.groupBy(col("bucket")).agg(count(lit(1)).as("_bsz"))
-      .filter(col("_bsz") > TextDedup.DefaultBucketCap).select(col("bucket"))
-    val capped = e.join(broadcast(oversized), Seq("bucket"), "left_anti")
-    val a = capped.alias("a"); val b = capped.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(AnnSearch.cosineWithNorms(col("a.embedding"), col("b.embedding"),
-          col("a.nrm"), col("b.nrm")) * 10000).cast("long").as("cos_e4"))
-      .filter(col("cos_e4") >= 4000)
+    AnnSearch.embedNearDupPairs(corpus, "vec_id", "embedding",
+      bitsPerBand = bits, bands = NearDupBands, minCosE4 = 4000L,
+      bucketCap = TextDedup.DefaultBucketCap, planeDim = AnnSearch.OracleDim).pairs
   }
 
   /** Multimodal feature extraction over binary media columns: deterministic
@@ -682,17 +684,30 @@ object SparkEntry {
   }
 
   private def embedNearDupOracleSql: String = {
-    // corpus-scaled sketch width — the same integer-exact bitlength formula
-    // as nearDupBits, derived from the oracle's own count(*)
-    val bitsSql =
-      "(SELECT least(16, length(bin(greatest(1, count(*) // 64))))::INT FROM embeddings)"
-    s"""${sqlSketchCtes(bitsSql, 16)},
+    import graft.functions.{AnnSearch, OracleHash, TextDedup}
+    // corpus-scaled width (same integer-exact bitlength formula as
+    // nearDupBits, derived from the oracle's own count(*)) × NearDupBands
+    // independent tables: band b's bit q reads plane row band*bits + q from
+    // the SAME baked table the Spark plan indexes (hyperplaneSketchAt)
+    val planes = OracleHash.sqlLongListList(
+      OracleHash.planeInts(24 * NearDupBands, AnnSearch.MaxDim).map(_.take(AnnSearch.OracleDim)))
+    val bandsList = (0 until NearDupBands).mkString("[", ",", "]")
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |        sqrt(list_dot_product(embedding, embedding)) AS nrm FROM embeddings),
+       |p AS (SELECT least(24, length(bin(greatest(1, count(*) // 64))))::INT AS bits FROM embeddings),
+       |sk AS (
+       |  SELECT vec_id, embedding, nrm, band,
+       |    list_sum(list_transform(range(0, bits), q ->
+       |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), i ->
+       |             embedding[i] * (($planes)[band*bits + q + 1][i] / 100000.0 - 0.5))) > 0
+       |           THEN (1::BIGINT << q) ELSE 0 END))::BIGINT AS bucket
+       |  FROM e, p, unnest($bandsList) AS t(band)),
        |capped AS (
        |  SELECT * FROM sk
-       |  QUALIFY count(*) OVER (PARTITION BY bucket) <= ${graft.functions.TextDedup.DefaultBucketCap})
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= ${TextDedup.DefaultBucketCap})
+       |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
        |       CAST(round(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_e4
-       |FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE CAST(round(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) * 10000) AS BIGINT) >= 4000""".stripMargin
   }
 

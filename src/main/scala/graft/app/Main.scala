@@ -31,6 +31,9 @@ object Main {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // engine-owned: bucket-aligned merges co-partition on a SUBSET of the
+      // join keys (see MergeApply.ensurePlanConf)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // zstd shuffle compression: the ingest shuffle carries near-full event
       // rows (content-heavy); zstd's higher ratio relieves the memory/IO
       // bandwidth the shuffle is bound by at high parallelism (measured at

@@ -70,14 +70,25 @@ object AnnSearch {
     * IEEE accumulation as the oracle's list_sum). A vector longer than
     * `planeDim` raises at runtime: VecDot's min-length contract would
     * otherwise silently truncate the projection. */
-  def hyperplaneSketch(vec: Column, bits: Int, planeDim: Int = MaxDim): Column = {
+  def hyperplaneSketch(vec: Column, bits: Int, planeDim: Int = MaxDim): Column =
+    hyperplaneSketchAt(vec, bits, planeOffset = 0, planeDim)
+
+  /** [[hyperplaneSketch]] over plane-table rows [planeOffset, planeOffset +
+    * bits): band b of a BANDED sketch uses offset b*bits, so every band is an
+    * independent hash family drawn from the same deterministic table (the
+    * oracle indexes the identical rows). */
+  def hyperplaneSketchAt(vec: Column, bits: Int, planeOffset: Int, planeDim: Int = MaxDim): Column = {
     require(planeDim > 0 && planeDim <= MaxDim, s"planeDim must be in (0, $MaxDim]")
-    val planes = OracleHash.planeInts(bits, MaxDim)
+    val planes = OracleHash.planeInts(planeOffset + bits, MaxDim).drop(planeOffset)
       .map(row => typedlit(row.take(planeDim).map(v => v / 100000.0 - 0.5)))
     val sk = (0 until bits).map { q =>
       when(VecExprs.dot(vec, planes(q)) > 0, lit(1L << q)).otherwise(lit(0L))
     }.reduce(_ + _)
-    when(size(vec) <= planeDim, sk)
+    // null vec first: size(NULL) is null, which would make the dim-check
+    // condition null and evaluate the raise_error branch — a single null
+    // embedding must yield a null sketch, not abort the query
+    when(vec.isNull, lit(null).cast("long"))
+      .when(size(vec) <= planeDim, sk)
       .otherwise(raise_error(concat(
         lit(s"embedding dim "), size(vec).cast("string"),
         lit(s" exceeds the baked hyperplane width $planeDim"))))
@@ -122,9 +133,12 @@ object AnnSearch {
         var acc = 0.0; cv.foreach(x => acc += x * x); math.sqrt(acc)
       }
       // kernel returns the ARRAY INDEX of the winner; cents are id-ascending
-      // so first-max-index == lowest cent_id on ties
+      // so first-max-index == lowest cent_id on ties. The matrix rides a
+      // Broadcast (unpersisted after this iteration's collect), not the task
+      // closure — at C ~ √N the closure must stay flat.
+      val bc = VecExprs.broadcastCentroids(spark, cents.map(_._2), cnorms)
       val bestCent = element_at(typedlit(cents.map(_._1)),
-        VecExprs.argMaxCos(col("v"), cents.map(_._2), cnorms) + 1)
+        VecExprs.argMaxCosBroadcast(col("v"), bc) + 1)
       // per-dim sums as WIDE aggregate columns (dim is known from the
       // centroids): ONE codegen'd map+agg job per iteration — no posexplode,
       // no repartition, and no CollapseProject re-eval hazard, because the
@@ -143,9 +157,62 @@ object AnnSearch {
         val n = r.getLong(1)
         r.getLong(0) -> (0 until dims).map(i => roundAway(r.getLong(2 + i).toDouble / n) / 1e6)
       }.toSeq.sortBy(_._1)
+      bc.unpersist(blocking = false)
     }
     e.unpersist(blocking = false)
     cents
+  }
+
+  /** Result of [[embedNearDupPairs]]: the candidate-verified pairs plus the
+    * per-band rows the bucket cap dropped. At scale the dropped side is the
+    * operator's health metric — count it against the corpus size and alert
+    * when the dropped fraction is nontrivial (silent truncation was exactly
+    * the failure mode of the pre-banded, width-capped design). */
+  final case class NearDupResult(pairs: DataFrame, droppedBandRows: DataFrame)
+
+  /** Embedding-cosine near-duplicate pairs, BANDED: `bands` independent
+    * `bitsPerBand`-bit hyperplane tables (band b uses plane rows
+    * [b*bitsPerBand, (b+1)*bitsPerBand)); a pair is a candidate if it shares
+    * a bucket in ANY band, then exact cosine ≥ minCosE4/10000 verifies.
+    *
+    * Scale shape: banding fixes the old single-table design's ceiling — with
+    * one width-capped table, N ≫ 2^bits·bucketCap makes EVERY bucket
+    * oversized and the cap silently drops the whole corpus. Bands fail
+    * independently: a bucket degenerate in one band drops those rows from
+    * that band only, and the pair still meets in its other bands (the
+    * MinHash-LSH recall argument). Width additionally scales with the corpus
+    * (caller passes bitsPerBand ~ log2(N/targetBucket)), so expected bucket
+    * size is constant in N and the join stays sub-quadratic. */
+  def embedNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      bitsPerBand: Int, bands: Int, minCosE4: Long,
+      bucketCap: Int = TextDedup.DefaultBucketCap,
+      planeDim: Int = MaxDim): NearDupResult = {
+    require(bands >= 1 && bitsPerBand >= 1)
+    val sketches = array((0 until bands).map(b =>
+      hyperplaneSketchAt(col(vecCol), bitsPerBand, b * bitsPerBand, planeDim)): _*)
+    val banded = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"),
+        l2norm(col(vecCol)).as("nrm"), posexplode(sketches))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // degenerate-bucket cap per (band, bucket): broadcast anti-join of the
+    // (tiny) oversized key set — never a window over the skewed bucket key
+    val oversized = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > bucketCap)
+      .select(col("band"), col("bucket"))
+    val capped = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+    val dropped = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_semi")
+      .select(col("band"), col("bucket"), col("vid"))
+    val a = capped.alias("a"); val b = capped.alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        round(cosineWithNorms(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")) * 10000)
+          .cast("long").as("cos_e4"))
+      .distinct() // a pair meeting in several bands reports once
+      .filter(col("cos_e4") >= minCosE4)
+    NearDupResult(pairs, dropped)
   }
 
   /** LSH-bucketed ANN: candidates share a sketch bucket (multi-probe: the

@@ -175,12 +175,21 @@ object TextDedup {
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
     * explode distinct shingles, self-join on shingle, count intersections,
-    * |A∪B| = |A|+|B|−|A∩B|. Quadratic only within shingle groups. */
+    * |A∪B| = |A|+|B|−|A∩B|. Quadratic only within shingle groups — which is
+    * why `maxDocFreq` caps a shingle's DOCUMENT frequency: a boilerplate
+    * shingle present in k docs contributes k² join rows (at 10^6 docs that
+    * is the whole query), and such a shingle carries no similarity signal
+    * anyway (the stop-word argument). Capped shingles are removed from BOTH
+    * the intersection and the set sizes, so the reported Jaccard is exact
+    * over the capped shingle space — same broadcast-anti-join shape as
+    * [[dropOversizedBuckets]], the big side never shuffles on the hot key. */
   def ngramJaccardPairs(
       docs: DataFrame, id: String, text: String,
-      shingleLen: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(id).as("doc"),
+      shingleLen: Int = 3, minJaccard: Double = 0.5,
+      maxDocFreq: Int = DefaultBucketCap): DataFrame = {
+    val sh0 = docs.select(col(id).as("doc"),
         explode(array_distinct(shingles(col(text), shingleLen))).as("sh"))
+    val sh = dropOversizedBuckets(sh0, Seq("sh"), maxDocFreq)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val a = sh.alias("a"); val b = sh.alias("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))

@@ -45,6 +45,14 @@ object VecExprs {
     ColumnBridge.column(VecArgMaxCos(ColumnBridge.expression(v),
       cents.map(_.toArray).toArray, cnorms.toArray))
 
+  def broadcastCentroids(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[Seq[Double]], cnorms: Seq[Double]): org.apache.spark.broadcast.Broadcast[CentroidMatrix] =
+    spark.sparkContext.broadcast(new CentroidMatrix(cents.map(_.toArray).toArray, cnorms.toArray))
+
+  def argMaxCosBroadcast(v: Column,
+      bc: org.apache.spark.broadcast.Broadcast[CentroidMatrix]): Column =
+    ColumnBridge.column(VecArgMaxCosBroadcast(ColumnBridge.expression(v), bc))
+
   def minHashSig(hashes: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes),
       OracleHash.coefA(k).toArray, OracleHash.coefB(k).toArray))
@@ -137,6 +145,56 @@ object VecExprs {
       })
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** [[VecArgMaxCos]] with the centroid matrix behind a Spark Broadcast
+    * instead of baked into the expression: the task closure carries a
+    * fixed-size handle, so at C ~ √N (10^4-10^5 centroids × 256+ dims —
+    * 10-100 MB of doubles) the plan/closure stays flat and the matrix ships
+    * to each executor ONCE over the torrent protocol rather than inside
+    * every task's serialized closure. Scoring math is bit-identical
+    * (delegates to the same [[argMaxCosEval]] loop). */
+  case class VecArgMaxCosBroadcast(child: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[CentroidMatrix]) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+    @transient private lazy val mat: CentroidMatrix = bc.value
+
+    override def nullSafeEval(a: Any): Any =
+      argMaxCosEval(a.asInstanceOf[ArrayData], elemType, mat.cents, mat.norms)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val bRef = ctx.addReferenceObj("centsBcast", bc,
+          "org.apache.spark.broadcast.Broadcast")
+        // resolve the broadcast once per operator instance, not per row
+        val cm = ctx.addMutableState("graft.functions.CentroidMatrix",
+          "graftCentMat", _ => "")
+        val kind = elemType match {
+          case FloatType => 0; case DoubleType => 1
+          case IntegerType => 2; case LongType => 3
+          case other => throw new IllegalArgumentException(s"unsupported element type: $other")
+        }
+        s"""
+           |if ($cm == null) {
+           |  $cm = (graft.functions.CentroidMatrix) $bRef.value();
+           |}
+           |${ev.value} = graft.functions.VecExprs.argMaxCosEvalJava($a, $kind, $cm.cents(), $cm.norms());
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Static entry for generated code (no DataType objects in codegen): same
+    * loop as [[argMaxCosEval]]. Kind: 0=float 1=double 2=int 3=long. */
+  def argMaxCosEvalJava(v: ArrayData, kind: Int,
+      cents: Array[Array[Double]], cnorms: Array[Double]): Int = {
+    val et: DataType = kind match {
+      case 0 => FloatType; case 1 => DoubleType; case 2 => IntegerType; case _ => LongType
+    }
+    argMaxCosEval(v, et, cents, cnorms)
   }
 
   /** Interpreted twin of [[VecArgMaxCos]]'s generated loop (same IEEE order). */

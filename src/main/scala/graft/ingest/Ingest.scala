@@ -382,11 +382,13 @@ object Ingest {
         else if (literalHits)
           stats.flatMap(_.getSeq[scala.collection.Seq[Int]](9).flatten)
             .distinct.sorted.map(snap0.files)
-        else
-          MergeApply.fileHitsDF(snap0,
+        else {
+          val byPath = snap0.files.iterator.map(f => f.path -> f).toMap
+          MergeApply.fileHitsDF(table, snap0,
             cached.filter(unfenced && err.isNull && isRowOp && passes),
             bucketOf, hkeyOf)
-            .collect().map(_.getInt(0)).sorted.toSeq.map(snap0.files)
+            .collect().map(_.getString(0)).sorted.toSeq.map(byPath)
+        }
 
       if (dlCount > 0) appendDeadLetters(table, cached.filter(unfenced && err.isNotNull), batchId)
 
@@ -427,8 +429,12 @@ object Ingest {
           if (cfg.morMode)
             MergeApply.appendDelta(table, deduped, fence,
               batchId = if (isLast) batchId else -1L, extraMetrics = extras,
-              // a barrier-DDL segment's seq range may hold no rows
-              mayBeEmpty = !wholeBatch)
+              // a whole-batch segment can ALSO be empty: a barrier-DDL
+              // segment's seq range may hold no rows, a rule filter may match
+              // nothing, hold-back may have taken every live row — an
+              // unguarded empty observed write risks the AQE
+              // empty-relation/CollectMetrics hang
+              mayBeEmpty = !wholeBatch || heldN > 0 || rowCount == 0)
           else MergeApply.merge(table, deduped, fence,
             batchId = if (isLast) batchId else -1L, salt = cfg.salt,
             extraMetrics = extras,
@@ -563,10 +569,18 @@ object Ingest {
       out.write.mode(SaveMode.Append).parquet(s"${table.dir}/_errors/_batchId=-1")
   }
 
+  /** Per-writer (per-process) suffix for ad-hoc append files: two concurrent
+    * ad-hoc writers (a maintenance job beside a backfill) each append to
+    * their OWN file, so lines can never interleave mid-record. Readers
+    * aggregate over the whole directory (spark.read.json / CLI report), so
+    * the split is invisible to consumers. Batch-keyed paths stay as they are
+    * (one exactly-once writer by construction). */
+  private lazy val writerId: String = java.util.UUID.randomUUID().toString.take(8)
+
   private def appendDeadLetterNote(table: LakeTable, msg: String): Unit = {
     val dir = java.nio.file.Paths.get(s"${table.dir}/_errors_notes")
     java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.writeString(dir.resolve("notes.jsonl"),
+    java.nio.file.Files.writeString(dir.resolve(s"notes-$writerId.jsonl"),
       graft.lake.Json.obj("_error" -> graft.lake.Json.quote(msg)) + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
@@ -602,7 +616,7 @@ object Ingest {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
     else
-      java.nio.file.Files.writeString(dir.resolve("adhoc.jsonl"),
+      java.nio.file.Files.writeString(dir.resolve(s"adhoc-$writerId.jsonl"),
         lines.mkString("", "\n", "\n"),
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }

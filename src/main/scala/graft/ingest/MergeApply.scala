@@ -73,14 +73,35 @@ object MergeApply {
       java.util.concurrent.Executors.newCachedThreadPool(
         (r: Runnable) => { val t = new Thread(r, "merge-metric"); t.setDaemon(true); t }))
 
-  /** Strategy-3 planning mutates a session-global conf
-    * (requireAllClusterKeysForCoPartition) with scoped set-and-restore; two
-    * concurrent merges on the SAME SparkSession must not interleave the
-    * set/restore. Serialized per session. */
-  private val planLocks =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, Object]()
-  private def planLock(spark: org.apache.spark.sql.SparkSession): Object =
-    planLocks.computeIfAbsent(spark, _ => new Object)
+  /** Read one observed metric with a hard timeout: a lost-metrics planner
+    * pathology (AQE replacing an observed subtree with an empty relation)
+    * must surface as a loud error, never a hung stream. Runs on a dedicated
+    * daemon pool — a thread stuck on a never-delivering obs.get must not
+    * poison the global ExecutionContext. */
+  private def readMetric(obs: Observation, name: String): Long = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val mm = Await.result(Future(obs.get)(metricPool), 120.seconds)
+    mm.get(name) match {
+      case Some(v: Long) => v
+      case Some(v: java.lang.Long) => v.longValue()
+      case _ => if (name == "maxSeq") -1L else 0L // max over empty = null = "no rows"
+    }
+  }
+
+  /** Subset co-partitioning conf the engine OWNS on any session it merges in:
+    * HashPartitioning(_jb) must satisfy a join clustered on (_jb, repo, path)
+    * or strategy 3 re-shuffles both sides on all keys and destroys the
+    * bucket-aligned write layout. Set idempotently (same value from every
+    * writer — thread-safe without a lock) and never restored: the previous
+    * scoped set-and-restore needed a session-global lock that serialized
+    * concurrent merges on DIFFERENT tables. The default (true) only protects
+    * jobs that WANT a full re-shuffle on partial-key alignment, which no
+    * engine path does. */
+  private val CoPartConfKey = "spark.sql.requireAllClusterKeysForCoPartition"
+  private[graft] def ensurePlanConf(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.conf.getOption(CoPartConfKey).contains("false"))
+      spark.conf.set(CoPartConfKey, "false")
 
   final case class MergeResult(
       eventsApplied: Long,
@@ -147,26 +168,48 @@ object MergeApply {
   def useLiteralManifest(snap: Snapshot): Boolean =
     snap.files.size <= LiteralManifestMaxFiles
 
+  /** Above this file count — when the snapshot is SEGMENTED — the planning
+    * lookup scans the manifest JSONL files as a DataFrame instead of building
+    * a driver-side LocalRelation: LocalRelation rows are serialized into the
+    * physical plan on the driver (10^6 entries ≈ 10^2 MB per planned query),
+    * a manifest scan ships only file paths and reads in tasks. */
+  val ScanManifestMinFiles = 65536
+
   /** The manifest as a broadcastable lookup table (bucket, minKey, maxKey,
-    * file index). Rows live in a LocalRelation — compact binary data, not
-    * expression-tree nodes, so plan size stays flat at any manifest size. */
-  def manifestDF(spark: org.apache.spark.sql.SparkSession, snap: Snapshot): DataFrame = {
-    import spark.implicits._
-    snap.files.zipWithIndex
-      .map { case (f, i) => (f.bucket, f.minKey, f.maxKey, i) }
-      .toDF("_mb", "_mmin", "_mmax", "_midx")
+    * file path). Small manifests ride a LocalRelation (compact binary rows);
+    * large segmented ones are scanned from their JSONL manifest files (see
+    * [[ScanManifestMinFiles]]). */
+  def manifestDF(table: LakeTable, snap: Snapshot): DataFrame = {
+    val spark = table.spark
+    val basePaths = graft.lake.Manifest.absolutePaths(
+      table.dir, snap, graft.lake.Manifest.BaseKind)
+    if (snap.files.size >= ScanManifestMinFiles && basePaths.nonEmpty) {
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("minKey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("maxKey", org.apache.spark.sql.types.LongType)))
+      spark.read.schema(sch).json(basePaths: _*)
+        .select(col("bucket").as("_mb"), col("minKey").as("_mmin"),
+          col("maxKey").as("_mmax"), col("path").as("_mpath"))
+    } else {
+      import spark.implicits._
+      snap.files.map(f => (f.bucket, f.minKey, f.maxKey, f.path))
+        .toDF("_mb", "_mmin", "_mmax", "_mpath")
+    }
   }
 
-  /** Manifest-file indices hit by `keys` rows, via broadcast range join —
+  /** Manifest-file PATHS hit by `keys` rows, via broadcast range join —
     * the large-manifest replacement for [[fileHitExpr]]. `keys` must expose
     * the delta's (repo, path); the hit set is tiny by construction (bounded
     * by the manifest), so the distinct is a cheap partial aggregation. */
-  def fileHitsDF(snap: Snapshot, keys: DataFrame, bucket: Column, hkey: Column): DataFrame = {
-    val m = manifestDF(keys.sparkSession, snap)
+  def fileHitsDF(table: LakeTable, snap: Snapshot, keys: DataFrame,
+      bucket: Column, hkey: Column): DataFrame = {
+    val m = manifestDF(table, snap)
     keys.select(bucket.as("_b"), hkey.as("_hk"))
       .join(broadcast(m),
         col("_b") === col("_mb") && col("_hk") >= col("_mmin") && col("_hk") <= col("_mmax"))
-      .select(col("_midx"))
+      .select(col("_mpath"))
       .distinct()
   }
 
@@ -222,9 +265,10 @@ object MergeApply {
       // literal in every dimension that matters at 100 TB)
       val rows = delta.groupBy(bucketCol.as("_b"))
         .agg(count(lit(1)).as("n"), sum(deltaBytesExpr(delta)).as("bytes")).collect()
-      val idxs = fileHitsDF(snap, delta, bucketCol, hkeyCol)
-        .collect().map(_.getInt(0)).sorted.toSeq
-      FileSelection(idxs.map(snap.files), rows.map(_.getInt(0)).toSet,
+      val byPath = snap.files.iterator.map(f => f.path -> f).toMap
+      val hits = fileHitsDF(table, snap, delta, bucketCol, hkeyCol)
+        .collect().map(_.getString(0)).sorted.toSeq
+      FileSelection(hits.map(byPath), rows.map(_.getInt(0)).toSet,
         rows.map(_.getLong(1)).sum,
         rows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum)
     }
@@ -300,6 +344,32 @@ object MergeApply {
         * small pre-count job; an empty observed write risks the AQE
         * empty-relation/CollectMetrics hazard and a junk commit. */
       mayBeEmpty: Boolean = false): MergeResult = {
+    // A rebucket can race an append (rebucket requires deltaFiles empty, so
+    // the window is exactly the FIRST delta append after a fold): the delta
+    // files we wrote carry the OLD bucket layout. A re-commit alone would
+    // silently mix bucketings in the manifest — redo the whole write against
+    // the refreshed snapshot instead.
+    var attempt = 0
+    while (true) {
+      try return appendDeltaOnce(table, delta, fenceDelta, batchId, extraMetrics, mayBeEmpty)
+      catch {
+        case _: RebucketedDuringAppend if attempt < MaxCommitAttempts =>
+          attempt += 1
+          table.refresh()
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private final class RebucketedDuringAppend extends RuntimeException
+
+  private def appendDeltaOnce(
+      table: LakeTable,
+      delta: DataFrame,
+      fenceDelta: => Map[Int, Long],
+      batchId: Long,
+      extraMetrics: => Map[String, Long],
+      mayBeEmpty: Boolean): MergeResult = {
     val spark = table.spark
     val snap = table.snapshot
     val sch = snap.schema
@@ -310,14 +380,16 @@ object MergeApply {
       return MergeResult(0, 0, 0, 0, 0, 0, 0, 0)
     }
     val commitDir = table.newCommitDataDir()
-    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val p = math.max(1, math.min(snap.numBuckets, shufflePartitions))
+    // Delta EVENT files are read wholesale (never pruned by bucket or key:
+    // MorRead re-groups by key, fold re-derives layout), so the append does
+    // NO layout work at all: no repartition-by-bucket (one whole extra
+    // exchange per micro-batch), no 64-way partitionBy (≈ numBuckets files +
+    // footer opens per batch — the dominant per-batch fixed cost at small
+    // batch sizes), no sort. The deduped delta is written as-is in its
+    // dedup-output partitioning (AQE has already coalesced small batches to
+    // a handful of partitions ⇒ a handful of files).
     val obs = Observation(s"mor-append-${java.util.UUID.randomUUID()}")
     val rows = delta
-      .withColumn("_bucket", table.bucketExpr(col("repo"), col("path")))
-      .withColumn(LakeTable.HkeyCol, table.hkeyExpr(col("repo"), col("path")))
-      .repartition(p, col("_bucket"))
-      .sortWithinPartitions(col("_bucket"), col(LakeTable.HkeyCol))
       .observe(obs,
         count(lit(1)).as("appended"),
         sum(when(col("op") === Ops.Delete, 1L).otherwise(0L)).as("deletes"),
@@ -325,24 +397,22 @@ object MergeApply {
     rows.write.mode("overwrite") // commitDir is fresh; overwrite = retry-safe
       .options(Map("compression" -> "zstd",
         "maxRecordsPerFile" -> snap.targetFileRows.toString))
-      .partitionBy("_bucket").parquet(commitDir)
-    def metricOf(name: String): Long = obs.get.get(name) match {
-      case Some(v: Long) => v
-      case Some(v: java.lang.Long) => v.longValue()
-      case _ => 0L
-    }
-    val appended = metricOf("appended")
-    val newDeltas = table.listWrittenFiles(commitDir, sch.schemaId)
-    graft.lake.LakeTable.withCommitRetry(table)(
+      .parquet(commitDir)
+    val appended = readMetric(obs, "appended")
+    val newDeltas = table.listWrittenFilesFlat(commitDir, sch.schemaId)
+    graft.lake.LakeTable.withCommitRetry(table) {
+      if (table.snapshot.numBuckets != snap.numBuckets)
+        throw new RebucketedDuringAppend // escape the retry; redo the write
       table.commit(Set.empty, Seq.empty, fenceDelta,
         Map("deltaEventsAppended" -> appended,
           "deltaFilesWritten" -> newDeltas.size.toLong,
           "batches" -> 1L) ++ extraMetrics,
-        batchId, maxSeq = metricOf("maxSeq"), newDeltaFiles = newDeltas))
+        batchId, maxSeq = readMetric(obs, "maxSeq"), newDeltaFiles = newDeltas)
+    }
     MergeResult(
       eventsApplied = appended,
-      upserts = appended - metricOf("deletes"),
-      tombstonesWritten = metricOf("deletes"),
+      upserts = appended - readMetric(obs, "deletes"),
+      tombstonesWritten = readMetric(obs, "deletes"),
       conflictsLww = 0, duplicatesIgnored = 0, affectedBuckets = 0,
       filesRewritten = 0, filesAdded = newDeltas.size)
   }
@@ -503,20 +573,7 @@ object MergeApply {
       w.partitionBy("_bucket").parquet(commitDir)
     }
 
-    /** read one observed metric; a hard timeout turns a lost-metrics planner
-      * pathology into a loud error instead of a hung stream. Runs on a
-      * dedicated daemon pool — a thread stuck on a never-delivering obs.get
-      * must not poison the global ExecutionContext. */
-    def metric(obs: Observation, name: String): Long = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration._
-      val mm = Await.result(Future(obs.get)(metricPool), 120.seconds)
-      mm.get(name) match {
-        case Some(v: Long) => v
-        case Some(v: java.lang.Long) => v.longValue()
-        case _ => if (name == "maxSeq") -1L else 0L // max over empty = null = "no rows"
-      }
-    }
+    def metric(obs: Observation, name: String): Long = readMetric(obs, name)
 
     val obs: Observation = if (sel.files.isEmpty) {
       // ---- strategy 1: insert-only (no join) ----
@@ -569,21 +626,12 @@ object MergeApply {
         col("b._jb") === col("d._jb") && saltCond &&
           col("b.repo") === col("d.repo") && col("b.path") === col("d.path"),
         "full_outer")
-      // Subset co-partitioning: HashPartitioning(_jb) must be accepted as
-      // satisfying the join over (_jb, repo, path) — with the default
-      // requireAllClusterKeysForCoPartition=true Spark would re-shuffle both
-      // sides on ALL join keys, destroying the bucket-aligned write layout.
-      // Scoped set-and-restore: planning happens inside the write action.
-      val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
-      planLock(spark).synchronized {
-        val prev = spark.conf.getOption(coPartKey)
-        spark.conf.set(coPartKey, "false")
-        try observeAndWrite(withLayout(resolveMatched(joined)))
-        finally prev match {
-          case Some(v) => spark.conf.set(coPartKey, v)
-          case None => spark.conf.unset(coPartKey)
-        }
-      }
+      // Subset co-partitioning: requireAllClusterKeysForCoPartition=false is
+      // an engine-owned session conf (see ensurePlanConf) — set idempotently
+      // here so even a direct MergeApply caller on a vanilla session plans
+      // the bucket-aligned shape; no lock, concurrent merges plan freely.
+      ensurePlanConf(spark)
+      observeAndWrite(withLayout(resolveMatched(joined)))
     }
     val applied = metric(obs, "applied"); val tombstones = metric(obs, "tombstones")
     val upserts = metric(obs, "upserts"); val conflicts = metric(obs, "conflicts")

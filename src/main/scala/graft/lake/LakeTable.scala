@@ -54,7 +54,7 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
   }
 
   def snapshotAt(version: Long): Snapshot =
-    Snapshot.fromJson(Files.readString(LakeTable.snapshotPath(dir, version)))
+    Snapshot.fromJson(Files.readString(LakeTable.snapshotPath(dir, version))).hydrate(dir)
 
   /** bucket assignment for a (repo, path) key — Spark's Murmur3 `hash` is
     * deterministic across sessions, so bucketing is stable for the table's
@@ -156,13 +156,27 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
     val mergedMetrics = (cur.metrics.keySet ++ metricsDelta.keySet).map { k =>
       k -> (cur.metrics.getOrElse(k, 0L) + metricsDelta.getOrElse(k, 0L))
     }.toMap
+    // ---- segmented manifest evolution (Iceberg manifest-list analog) ----
+    // Untouched manifests are reused by reference; manifests that lost an
+    // entry are rewritten (survivors only); new files become one new
+    // manifest. Pointer + manifest IO is O(changed files) per commit —
+    // a fence-only commit writes no manifest at all. The hydrated in-memory
+    // file lists are rebuilt in pointer order so they are bit-identical to
+    // what a fresh process would hydrate.
+    val (baseRefs, baseEntries) = evolveManifests(
+      Manifest.BaseKind, cur.files, cur.manifests.filter(_.kind == Manifest.BaseKind),
+      replacedPaths, newFiles)
+    val (deltaRefs, deltaEntries) = evolveManifests(
+      Manifest.DeltaKind, cur.deltaFiles, cur.manifests.filter(_.kind == Manifest.DeltaKind),
+      replacedPaths, newDeltaFiles)
     val next = Snapshot(
       version = cur.version + 1,
       parentVersion = cur.version,
       schemaId = newSchema.map(_.schemaId).getOrElse(cur.schemaId),
       numBuckets = newNumBuckets.getOrElse(cur.numBuckets),
-      files = cur.files.filterNot(f => replacedPaths.contains(f.path)) ++ newFiles,
-      deltaFiles = cur.deltaFiles.filterNot(f => replacedPaths.contains(f.path)) ++ newDeltaFiles,
+      files = baseEntries,
+      deltaFiles = deltaEntries,
+      manifests = baseRefs ++ deltaRefs,
       fence = mergedFence,
       metrics = mergedMetrics,
       committedBatchId = math.max(batchId, cur.committedBatchId),
@@ -174,6 +188,40 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
     LakeTable.writeSnapshotAtomic(dir, next)
     snap = next
     next
+  }
+
+  /** Evolve one kind's manifest list for a commit; returns (pointer refs,
+    * hydrated entries in pointer order). A legacy inline snapshot (entries
+    * but no refs) is migrated wholesale on its first commit. Manifests
+    * written here before a LOST version race become orphans — swept by
+    * [[Maintenance.expireSnapshots]] after its grace window, like orphaned
+    * commit data dirs. */
+  private def evolveManifests(
+      kind: String, curEntries: Seq[DataFile], curRefs: Seq[ManifestRef],
+      replacedPaths: Set[String], newEntries: Seq[DataFile]): (Seq[ManifestRef], Seq[DataFile]) = {
+    val groups: Seq[(Option[ManifestRef], Seq[DataFile])] =
+      if (curRefs.nonEmpty) curRefs.map(r => (Some(r): Option[ManifestRef], Manifest.read(dir, r)))
+      else if (curEntries.nonEmpty) Seq((None, curEntries)) // legacy inline → segment now
+      else Seq.empty
+    val kept = Seq.newBuilder[ManifestRef]
+    val rewritten = Seq.newBuilder[DataFile]
+    groups.foreach { case (refOpt, entries) =>
+      val touched = refOpt.isEmpty || entries.exists(e => replacedPaths.contains(e.path))
+      if (!touched) kept += refOpt.get
+      else rewritten ++= entries.filterNot(e => replacedPaths.contains(e.path))
+    }
+    val freshGroups = Seq(rewritten.result(), newEntries).filter(_.nonEmpty)
+    var refs = kept.result() ++ freshGroups.map(es => Manifest.write(dir, es, kind))
+    // bound pointer size: past the cap, merge the smallest manifests down to
+    // half the cap (amortized — steady-state commits stay O(changed files))
+    if (refs.size > Manifest.MaxManifests) {
+      val sorted = refs.sortBy(_.fileCount)
+      val mergeN = refs.size - Manifest.MaxManifests / 2 + 1
+      val (small, big) = sorted.splitAt(mergeN)
+      val merged = Manifest.write(dir, small.flatMap(r => Manifest.read(dir, r)), kind)
+      refs = big :+ merged
+    }
+    (refs, refs.flatMap(r => Manifest.read(dir, r)))
   }
 
   /** Schema-only evolution commit (DDL barrier, SURVEY §3.2). `ddlSeq` is
@@ -210,6 +258,28 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
       val (rows, minK, maxK) = footerStats(f)
       val rel = root.relativize(f.toAbsolutePath.normalize).toString
       DataFile(b, rel, schemaId, rows, minK, maxK)
+    }
+    Await.result(Future.sequence(futures), Duration.Inf).filter(_.rows > 0)
+  }
+
+  /** Manifest entries for a FLAT commit dir (no `_bucket=N` layout) — the
+    * merge-on-read delta append's shape: delta event files are read wholesale
+    * and never pruned by bucket or key range, so they carry `bucket = -1`
+    * and the full key range instead of paying a per-bucket write fan-out and
+    * per-file stats reads on the streaming hot path. Row counts still come
+    * from the footers (a handful of files per batch). */
+  def listWrittenFilesFlat(commitDir: String, schemaId: Int): Seq[DataFile] = {
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = LakeTable.metaPool
+    val futures = for {
+      f <- LakeTable.listDir(Paths.get(commitDir))
+      if f.getFileName.toString.endsWith(".parquet")
+    } yield Future {
+      val (rows, _, _) = footerStats(f)
+      val rel = root.relativize(f.toAbsolutePath.normalize).toString
+      DataFile(-1, rel, schemaId, rows, Long.MinValue, Long.MaxValue)
     }
     Await.result(Future.sequence(futures), Duration.Inf).filter(_.rows > 0)
   }
@@ -320,7 +390,9 @@ object LakeTable {
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .sorted.reverseIterator
     names.flatMap { n =>
-      try Some(Snapshot.fromJson(Files.readString(sd.resolve(n))))
+      // hydrate inside the fallback guard: a snapshot whose manifests were
+      // torn away by the same crash is as unreadable as a torn pointer
+      try Some(Snapshot.fromJson(Files.readString(sd.resolve(n))).hydrate(dir))
       catch {
         case e: Exception =>
           System.err.println(s"[lake] skipping unreadable snapshot $n: ${e.getMessage}")

@@ -155,28 +155,58 @@ object Maintenance {
     val retained = versions.takeRight(keep)
     val expired = versions.dropRight(keep)
 
+    val retainedSnaps = retained.map(table.snapshotAt)
     // commit-dir basenames referenced by any retained snapshot (base AND
     // merge-on-read delta files — both are live data)
-    val referenced: Set[String] = retained.flatMap { v =>
-      val s = table.snapshotAt(v)
+    val referenced: Set[String] = retainedSnaps.flatMap { s =>
       (s.files.iterator ++ s.deltaFiles.iterator).map { f =>
         // relative: data/<commitDir>/_bucket=N/part-*.parquet; absolute legacy
         // paths reduce to the same basename via getParent.getParent
         Paths.get(table.resolve(f.path)).getParent.getParent.getFileName.toString
       }
     }.toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val dataDir = dir.resolve("data")
     if (Files.isDirectory(dataDir)) {
-      val cutoff = System.currentTimeMillis() - graceMs
       LakeTable.listDir(dataDir).foreach { commitDir =>
         val young =
-          try Files.getLastModifiedTime(commitDir).toMillis > cutoff
+          try newestMtime(commitDir) > cutoff
           catch { case _: java.io.IOException => true } // vanished/unreadable: skip
         if (!referenced.contains(commitDir.getFileName.toString) && !young)
           org.apache.commons.io.FileUtils.deleteQuietly(commitDir.toFile)
       }
     }
+    // orphan MANIFESTS: files under manifests/ referenced by no retained
+    // snapshot — produced by expired snapshots' rewrites and by commits that
+    // lost the version CAS. Same grace window as data (a manifest is written
+    // shortly before the snapshot that references it publishes).
+    val referencedManifests: Set[String] =
+      retainedSnaps.flatMap(_.manifests.map(_.path)).toSet
+    val mDir = dir.resolve("manifests")
+    if (Files.isDirectory(mDir)) {
+      LakeTable.listDir(mDir).foreach { mf =>
+        val rel = s"manifests/${mf.getFileName}"
+        val young =
+          try Files.getLastModifiedTime(mf).toMillis > cutoff
+          catch { case _: java.io.IOException => true }
+        if (!referencedManifests.contains(rel) && !young)
+          Files.deleteIfExists(mf)
+      }
+    }
     expired.foreach(v => Files.deleteIfExists(snapDir.resolve(f"v$v%012d.json")))
     expired.size
+  }
+
+  /** Newest mtime over a commit dir's whole file tree. The dir's OWN mtime is
+    * set when the `_bucket=N` subdirs are created at the START of a write;
+    * parquet files land later and do not bump it — a write phase longer than
+    * the grace window would otherwise let a concurrent expiry delete an
+    * in-flight commit's data out from under the snapshot about to reference
+    * it. Tree depth is fixed (commit dir → bucket dirs → part files), so the
+    * walk is bounded by the dir's own file count. */
+  private def newestMtime(p: Path): Long = {
+    val own = Files.getLastModifiedTime(p).toMillis
+    if (!Files.isDirectory(p)) own
+    else (own +: LakeTable.listDir(p).map(newestMtime)).max
   }
 }

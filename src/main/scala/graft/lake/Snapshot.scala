@@ -65,7 +65,15 @@ final case class Snapshot(
       * resolve them against `files` by last-writer-wins at query time;
       * compaction folds them into base files through the ordinary COW merge
       * and drops them. Empty for pure copy-on-write tables. */
-    deltaFiles: Seq[DataFile] = Seq.empty) {
+    deltaFiles: Seq[DataFile] = Seq.empty,
+    /** SEGMENTED manifest pointers (Iceberg manifest-list analog; see
+      * [[Manifest]]). Non-empty ⇒ the persisted snapshot carries ONLY these
+      * references — `files`/`deltaFiles` above are the HYDRATED view, filled
+      * from the (cached) manifest files at load time and equal to the
+      * concatenation of base / delta manifests' entries in pointer order.
+      * Empty ⇒ legacy inline snapshot (pre-segmentation tables, synthetic
+      * test snapshots, the empty v0). */
+    manifests: Seq[ManifestRef] = Seq.empty) {
 
   def schema: TableSchema = schemas.find(_.schemaId == schemaId).get
   def schemaById(id: Int): TableSchema = schemas.find(_.schemaId == id).get
@@ -73,33 +81,54 @@ final case class Snapshot(
   def deltaRows: Long = deltaFiles.iterator.map(_.rows).sum
   def filesOf(buckets: Set[Int]): Seq[DataFile] = files.filter(f => buckets.contains(f.bucket))
 
-  def toJson: String = Json.obj(
-    "version" -> version.toString,
-    "parentVersion" -> parentVersion.toString,
-    "schemaId" -> schemaId.toString,
-    "numBuckets" -> numBuckets.toString,
-    "committedBatchId" -> committedBatchId.toString,
-    "ddlSeq" -> ddlSeq.toString,
-    "maxSeq" -> maxSeq.toString,
-    "targetFileRows" -> targetFileRows.toString,
-    "tsMillis" -> tsMillis.toString,
-    "files" -> Json.arrOf(files.sortBy(f => (f.bucket, f.minKey, f.path)).map(fileJson)),
-    "deltaFiles" -> Json.arrOf(deltaFiles.sortBy(f => (f.bucket, f.minKey, f.path)).map(fileJson)),
-    "fence" -> Json.obj(fence.toSeq.sortBy(_._1).map { case (p, o) => p.toString -> o.toString }: _*),
-    "metrics" -> Json.obj(metrics.toSeq.sorted.map { case (k, v) => k -> v.toString }: _*),
-    "schemas" -> Json.arrOf(schemas.map(_.toJson)))
+  /** The persisted pointer: segmented snapshots serialize manifest REFS, not
+    * file entries — snapshot bytes are O(#manifests), and `/report` serves
+    * position/lineage without inlining a million-file list. */
+  def toJson: String = {
+    val fileFields =
+      if (manifests.nonEmpty)
+        Seq("manifestList" -> Json.arrOf(manifests.map(_.toJson)))
+      else Seq(
+        "files" -> Json.arrOf(files.sortBy(f => (f.bucket, f.minKey, f.path)).map(Snapshot.fileJson)),
+        "deltaFiles" -> Json.arrOf(deltaFiles.sortBy(f => (f.bucket, f.minKey, f.path)).map(Snapshot.fileJson)))
+    Json.obj(Seq(
+      "version" -> version.toString,
+      "parentVersion" -> parentVersion.toString,
+      "schemaId" -> schemaId.toString,
+      "numBuckets" -> numBuckets.toString,
+      "committedBatchId" -> committedBatchId.toString,
+      "ddlSeq" -> ddlSeq.toString,
+      "maxSeq" -> maxSeq.toString,
+      "targetFileRows" -> targetFileRows.toString,
+      "tsMillis" -> tsMillis.toString) ++ fileFields ++ Seq(
+      "fence" -> Json.obj(fence.toSeq.sortBy(_._1).map { case (p, o) => p.toString -> o.toString }: _*),
+      "metrics" -> Json.obj(metrics.toSeq.sorted.map { case (k, v) => k -> v.toString }: _*),
+      "schemas" -> Json.arrOf(schemas.map(_.toJson))): _*)
+  }
 
-  private def fileJson(f: DataFile): String = Json.obj(
+  /** Fill `files`/`deltaFiles` from the manifest files (no-op for inline
+    * snapshots). IO cost is O(manifests not yet in the process cache) —
+    * after a commit, a refresh reads only the pointer plus the commit's new
+    * manifests. */
+  def hydrate(tableDir: String): Snapshot =
+    if (manifests.isEmpty) this
+    else copy(
+      files = manifests.filter(_.kind == Manifest.BaseKind)
+        .flatMap(r => Manifest.read(tableDir, r)),
+      deltaFiles = manifests.filter(_.kind == Manifest.DeltaKind)
+        .flatMap(r => Manifest.read(tableDir, r)))
+}
+
+object Snapshot {
+  private[lake] def fileJson(f: DataFile): String = Json.obj(
     "bucket" -> f.bucket.toString,
     "path" -> Json.quote(f.path),
     "schemaId" -> f.schemaId.toString,
     "rows" -> f.rows.toString,
     "minKey" -> f.minKey.toString,
     "maxKey" -> f.maxKey.toString)
-}
 
-object Snapshot {
-  private def fileFromJson(f: com.fasterxml.jackson.databind.JsonNode): DataFile =
+  private[lake] def fileFromJson(f: com.fasterxml.jackson.databind.JsonNode): DataFile =
     DataFile(Json.int(f, "bucket"), Json.str(f, "path"), Json.int(f, "schemaId"),
       Json.long(f, "rows"), Json.long(f, "minKey"), Json.long(f, "maxKey"))
 
@@ -113,6 +142,9 @@ object Snapshot {
       files = Json.arr(n, "files").map(fileFromJson),
       deltaFiles =
         if (n.has("deltaFiles")) Json.arr(n, "deltaFiles").map(fileFromJson) else Seq.empty,
+      manifests =
+        if (n.has("manifestList")) Json.arr(n, "manifestList").map(Manifest.refFromJson)
+        else Seq.empty,
       fence = Json.objFields(n, "fence").map { case (k, v) => k.toInt -> v.asLong() }.toMap,
       metrics = Json.objFields(n, "metrics").map { case (k, v) => k -> v.asLong() }.toMap,
       committedBatchId = Json.long(n, "committedBatchId"),

@@ -37,12 +37,17 @@ class ControlServer(tableDir: String, port: Int = 0) extends AutoCloseable {
     try os.write(bytes) finally os.close()
   }
 
+  /** Exception messages (Spark/IO errors routinely carry quotes and newlines)
+    * must be JSON-escaped or the operator surface serves invalid JSON. */
+  private def errorJson(e: Exception): String =
+    graft.lake.Json.obj("error" -> graft.lake.Json.quote(String.valueOf(e.getMessage)))
+
   server.createContext("/report", (x: HttpExchange) =>
     try {
       val json = LakeTable.peekSnapshot(tableDir)
         .map(_.toJson).getOrElse("""{"error":"not a LakeTable"}""")
       respond(x, 200, json, "application/json")
-    } catch { case e: Exception => respond(x, 500, s"""{"error":"${e.getMessage}"}""", "application/json") })
+    } catch { case e: Exception => respond(x, 500, errorJson(e), "application/json") })
 
   server.createContext("/progress", (x: HttpExchange) =>
     try {
@@ -50,13 +55,19 @@ class ControlServer(tableDir: String, port: Int = 0) extends AutoCloseable {
       val lines =
         if (Files.exists(p)) Files.readAllLines(p).asScala.takeRight(50) else Seq.empty
       respond(x, 200, lines.mkString("[", ",\n", "]"), "application/json")
-    } catch { case e: Exception => respond(x, 500, s"""{"error":"${e.getMessage}"}""", "application/json") })
+    } catch { case e: Exception => respond(x, 500, errorJson(e), "application/json") })
 
+  // POST only: /stop mutates state, and a GET would let any local page stop
+  // the pipeline via a cross-origin request to 127.0.0.1
   server.createContext("/stop", (x: HttpExchange) =>
     try {
-      StreamIngest.requestStop(tableDir)
-      respond(x, 200, """{"stop":"requested"}""", "application/json")
-    } catch { case e: Exception => respond(x, 500, s"""{"error":"${e.getMessage}"}""", "application/json") })
+      if (x.getRequestMethod != "POST")
+        respond(x, 405, """{"error":"use POST"}""", "application/json")
+      else {
+        StreamIngest.requestStop(tableDir)
+        respond(x, 200, """{"stop":"requested"}""", "application/json")
+      }
+    } catch { case e: Exception => respond(x, 500, errorJson(e), "application/json") })
 
   def start(): Int = {
     server.start()

@@ -25,6 +25,15 @@ class ControlPlaneSpec extends AnyFunSuite {
     (resp.statusCode(), resp.body())
   }
 
+  private def post(port: Int, path: String): (Int, String) = {
+    val client = HttpClient.newHttpClient()
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
   test("/report, /progress, /stop work against a live tail") {
     val logDir = TestSpark.tmpDir("graft-http-log")
     val tableDir = TestSpark.tmpDir("graft-http-table")
@@ -57,7 +66,10 @@ class ControlPlaneSpec extends AnyFunSuite {
       val (pc, progress) = get(port, "/progress")
       assert(pc === 200 && progress.startsWith("["))
 
-      val (sc, stopBody) = get(port, "/stop")
+      // /stop mutates state: GET must be rejected (CSRF to 127.0.0.1), POST works
+      val (gc, _) = get(port, "/stop")
+      assert(gc === 405, "GET /stop must be rejected")
+      val (sc, stopBody) = post(port, "/stop")
       assert(sc === 200 && stopBody.contains("requested"))
       tailThread.join(120000)
       assert(!tailThread.isAlive, "tail must terminate after HTTP /stop")

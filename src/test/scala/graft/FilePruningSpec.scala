@@ -120,12 +120,16 @@ class FilePruningSpec extends AnyFunSuite {
     assert(!MergeApply.useLiteralManifest(snap), "large manifest must not use the plan-literal map")
 
     val d = delta(Seq(77L), "update", _ => 99999L, id => s"u-$id")
-    // receipt: the broadcast lookup's plan is O(1) in manifest size — the
-    // 100k entries ride as LocalRelation DATA, not expression nodes
-    val hits = MergeApply.fileHitsDF(snap, d,
+    // receipt: the lookup's plan is O(1) in manifest size — above
+    // ScanManifestMinFiles a SEGMENTED snapshot plans a manifest-file SCAN
+    // (no 100k-row LocalRelation serialized into the plan at all)
+    assert(snap.manifests.nonEmpty, "committed snapshot must be segmented")
+    val hits = MergeApply.fileHitsDF(table, snap, d,
       table.bucketExpr(col("repo"), col("path")), table.hkeyExpr(col("repo"), col("path")))
     val planStr = hits.queryExecution.optimizedPlan.toString
     assert(planStr.length < 100000, s"plan string blew up: ${planStr.length} chars")
+    assert(planStr.contains("json") || planStr.toLowerCase.contains("relation"),
+      s"expected a manifest-file scan in the plan:\n${planStr.take(2000)}")
 
     val sel = MergeApply.selectFiles(table, d)
     assert(sel.deltaRowsHint === 1L)

@@ -136,6 +136,51 @@ class LakeTableSpec extends AnyFunSuite {
       "expiry through an alternate path spelling must not GC live data")
   }
 
+  test("segmented manifests: commit cost and snapshot bytes are O(changed files) at 10^5 files") {
+    import java.nio.file.{Files, Paths}
+    val dir = TestSpark.tmpDir("graft-lake-manifests")
+    val t = LakeTable.create(spark, dir, numBuckets = 16)
+    def mkFiles(commit: Int, n: Int): Seq[DataFile] = (0 until n).map { i =>
+      DataFile(bucket = i % 16, path = s"data/c$commit/_bucket=${i % 16}/f$i.parquet",
+        schemaId = 0, rows = 10L, minKey = commit * 1000000L + 2L * i,
+        maxKey = commit * 1000000L + 2L * i + 1L)
+    }
+    // accrete 100k files over 20 commits (the steady-state shape: each commit
+    // adds its own manifest; untouched manifests are reused by reference)
+    (1 to 20).foreach(c => t.commit(Set.empty, mkFiles(c, 5000), Map.empty, Map.empty))
+    val snap = t.snapshot
+    assert(snap.files.size === 100000)
+    assert(snap.manifests.nonEmpty && snap.manifests.size <= Manifest.MaxManifests)
+    // snapshot POINTER bytes are O(#manifests), not O(files): an inline
+    // snapshot of 100k entries is ~15 MB of JSON
+    val pointerBytes = Files.size(Paths.get(dir, "snapshots", f"v${snap.version}%012d.json"))
+    assert(pointerBytes < 64 * 1024, s"snapshot pointer must stay small, was $pointerBytes bytes")
+
+    // incremental commit: replace ONE file, add one — must rewrite only the
+    // manifest containing it and write O(changed) manifest bytes
+    def manifestFiles(): Map[String, Long] =
+      LakeTable.listDir(Paths.get(dir, "manifests"))
+        .map(p => p.getFileName.toString -> Files.size(p)).toMap
+    val before = manifestFiles()
+    val totalManifestBytes = before.values.sum
+    val victim = snap.files.head
+    t.commit(Set(victim.path), mkFiles(99, 1), Map.empty, Map.empty)
+    val after = manifestFiles()
+    val newBytes = (after.keySet -- before.keySet).toSeq.map(after).sum
+    assert(newBytes < totalManifestBytes / 5,
+      s"incremental commit wrote $newBytes manifest bytes vs $totalManifestBytes total — not O(changed)")
+    // untouched manifests are REUSED by reference across the commit
+    val reused = t.snapshot.manifests.map(_.path).toSet
+      .intersect(snap.manifests.map(_.path).toSet)
+    assert(reused.size >= snap.manifests.size - 2,
+      "all but the touched manifest(s) must be reused by reference")
+    // hydration equality: a fresh load reconstructs the same file set
+    val reloaded = LakeTable.load(spark, dir).snapshot
+    assert(reloaded.files.toSet === t.snapshot.files.toSet)
+    assert(reloaded.files.size === 100000)
+    assert(!reloaded.files.exists(_.path == victim.path))
+  }
+
   test("time travel: snapshotAt reads any committed version") {
     val dir = TestSpark.tmpDir("graft-lake-tt")
     val t = LakeTable.create(spark, dir, numBuckets = 4)

@@ -59,6 +59,28 @@ class MaintenanceSpec extends AnyFunSuite {
     table.read().select(col("repo"), col("path"), sha2(col("content"), 256))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
 
+  test("ad-hoc lineage is per-writer (UUID files) and the report aggregates across them") {
+    import spark.implicits._
+    val tableDir = TestSpark.tmpDir("graft-lineage-writers")
+    val table = LakeTable.create(spark, tableDir, numBuckets = 4)
+    // writer 1: a real ad-hoc batch (batchId < 0 → per-writer adhoc file)
+    val cfg = GenConfig(seed = 77L, nEvents = 40L, nRepos = 4, pathsPerRepo = 4,
+      nPartitions = 2, contentLen = 30)
+    Ingest.applyBatch(table, ChangelogGen.events(spark, cfg).toDF()) // batchId = -1
+    // writer 2: simulate ANOTHER process's ad-hoc file (its own UUID name)
+    val dir = java.nio.file.Paths.get(tableDir, "_lineage")
+    java.nio.file.Files.writeString(dir.resolve("adhoc-deadbeef.jsonl"),
+      """{"batchId":-1,"snapshotVersion":99,"partition":-1,"maxOffset":-1,"eventsSeen":777,""" +
+        """"eventsApplied":777,"tombstones":0,"conflictsLww":0,"deadLetters":0}""" + "\n")
+    val files = LakeTable.listDir(dir).map(_.getFileName.toString)
+    assert(files.exists(_.startsWith("adhoc-")) && files.size >= 2,
+      s"each ad-hoc writer appends to its OWN uuid file, got $files")
+    // the lineage reader aggregates over the whole directory — both writers
+    val lin = Ingest.lineage(table)
+    assert(lin.filter(col("eventsSeen") === 777L).count() === 1, "second writer's line visible")
+    assert(lin.filter(col("eventsSeen") === 40L).count() === 1, "first writer's line visible")
+  }
+
   test("no-PK fallback: update/delete match the whole before-image") {
     import spark.implicits._
     val state = Seq(

@@ -84,6 +84,35 @@ class RebucketConcurrencySpec extends AnyFunSuite {
     }
   }
 
+  test("two concurrent bulk (strategy-3) merges on DIFFERENT tables proceed in parallel") {
+    // round-3 design serialized these behind a session-global planLock (the
+    // co-partition conf was set-and-restored per merge); the conf is now an
+    // engine-owned session setting, so nothing serializes cross-table merges
+    val dirA = TestSpark.tmpDir("graft-par-a")
+    val dirB = TestSpark.tmpDir("graft-par-b")
+    val tA = LakeTable.create(spark, dirA, numBuckets = 8, targetFileRows = 500L)
+    val tB = LakeTable.create(spark, dirB, numBuckets = 8, targetFileRows = 500L)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def bulk(t: LakeTable, tag: String): Thread = new Thread(() => {
+      try {
+        barrier.await() // both merges plan/run concurrently on one session
+        // 150k rows ≫ BroadcastDeltaMaxRows ⇒ strategy-3 bucket-aligned shuffle
+        val r = MergeApply.merge(t,
+          delta(0L until 150000L, "insert", id => id, id => s"$tag-$id"), Map.empty)
+        assert(r.eventsApplied === 150000L)
+      } catch { case e: Throwable => errors.add(e) }
+    }, s"bulk-$tag")
+    val a = bulk(tA, "a"); val b = bulk(tB, "b")
+    a.start(); b.start(); a.join(300000); b.join(300000)
+    assert(errors.isEmpty, s"concurrent bulk merges failed: ${errors.peek()}")
+    assert(tA.read().count() === 150000L && tB.read().count() === 150000L)
+    assert(tA.read().filter(col("content") === "a-7").count() === 1)
+    assert(tB.read().filter(col("content") === "b-7").count() === 1)
+    // the engine-owned conf is set (and never restored) on the shared session
+    assert(spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition") === "false")
+  }
+
   test("concurrent compaction beside a live writer retries instead of crashing") {
     val dir = TestSpark.tmpDir("graft-concurrent")
     val table = LakeTable.create(spark, dir, numBuckets = 8, targetFileRows = 300L)

@@ -202,6 +202,103 @@ class TextDedupSpec extends AnyFunSuite {
     assert(kernel.values.toSet.contains(2), "the duplicated centroid must win somewhere")
   }
 
+  test("ngram jaccard: shingle document-frequency cap bounds a boilerplate corpus") {
+    import spark.implicits._
+    // one shingle shared by 50% of docs: without a DF cap the shingle-group
+    // self-join contributes k²/2 candidate rows (the whole query at 10^6 docs)
+    val docs = (0 until 200).map { i =>
+      if (i % 2 == 0) (i.toLong, s"unique${i}a unique${i}b BOILER")
+      else (i.toLong, s"only${i}x only${i}y only${i}z")
+    }.toDF("doc_id", "text")
+    val capped = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleLen = 1, minJaccard = 0.01, maxDocFreq = 50)
+    // the cap is the same broadcast-anti-join shape as the LSH bucket cap —
+    // never a window over the hot shingle key
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"DF cap must not plan a Window:\n${plan.take(2000)}")
+    assert(capped.count() === 0, "with BOILER capped away no doc pair shares a shingle")
+    val uncapped = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleLen = 1, minJaccard = 0.01, maxDocFreq = 2000)
+    assert(uncapped.count() === 100L * 99 / 2, "under the cap all boilerplate pairs emerge")
+    // Jaccard stays exact over the capped shingle space: identical docs that
+    // ALSO carry the boilerplate keep jaccard 1.0 on their surviving shingles
+    val twins = Seq((1000L, "same same2 BOILER"), (1001L, "same same2 BOILER"))
+      .toDF("doc_id", "text").union(docs)
+    val t = TextDedup.ngramJaccardPairs(twins, "doc_id", "text",
+      shingleLen = 1, minJaccard = 0.5, maxDocFreq = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(t((1000L, 1001L)) === 1.0)
+  }
+
+  test("embed near-dup: banded gate survives a corpus where a too-narrow width drops every bucket") {
+    import spark.implicits._
+    val vecs = (0 until 512).map { i =>
+      val cluster = i % 8
+      val v = (0 until 16).map { d =>
+        math.sin(cluster * 16 + d).toFloat + 0.02f * graft.util.Rand.uniform(31L, i, d).toFloat
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    // the OLD failure shape: width frozen too narrow for the corpus (here
+    // 1 bit ⇒ 2 buckets of ~256 ≫ cap) — every bucket oversized in every
+    // band, the cap silently dropped the ENTIRE corpus. The banded operator
+    // now at least REPORTS the drop instead of hiding it…
+    val collapsed = AnnSearch.embedNearDupPairs(vecs, "vec_id", "embedding",
+      bitsPerBand = 1, bands = 2, minCosE4 = 8000L, bucketCap = 100, planeDim = 16)
+    assert(collapsed.pairs.count() === 0)
+    assert(collapsed.droppedBandRows.count() === 512L * 2,
+      "the dropped-rows side must expose the silent-truncation failure mode")
+    // …and the corpus-scaled width (bitlength(512/64) = 4 bits ⇒ 16 buckets
+    // per band ≈ 32 rows each) keeps every bucket under the cap: near-dup
+    // pairs flow and nothing is dropped
+    val scaled = AnnSearch.embedNearDupPairs(vecs, "vec_id", "embedding",
+      bitsPerBand = 4, bands = 2, minCosE4 = 8000L, bucketCap = 200, planeDim = 16)
+    assert(scaled.droppedBandRows.count() === 0)
+    val scaledPairs = scaled.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(scaledPairs.nonEmpty, "cluster members must surface as near-dups")
+    // banding recall: band 0 alone is the single-table gate — two bands can
+    // only ADD candidate pairs (pair survives if it meets in ANY band)
+    val oneBand = AnnSearch.embedNearDupPairs(vecs, "vec_id", "embedding",
+      bitsPerBand = 4, bands = 1, minCosE4 = 8000L, bucketCap = 200, planeDim = 16)
+      .pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oneBand.subsetOf(scaledPairs), "banding must be a superset of the single table")
+    assert(scaledPairs.size >= oneBand.size)
+  }
+
+  test("broadcast centroid kernel: same results as the literal kernel, flat task-closure size at C=256") {
+    import spark.implicits._
+    import graft.functions.VecExprs
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val vecs = (0 until 100).map { i =>
+      (i.toLong, (0 until 64).map(d => graft.util.Rand.uniform(17L, i, d).toFloat - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val cents = (0 until 256).map(c =>
+      (0 until 64).map(d => math.sin(c * 64 + d) / 2).toIndexedSeq: Seq[Double])
+    val cnorms = cents.map { cv => var a = 0.0; cv.foreach(x => a += x * x); math.sqrt(a) }
+    val bc = VecExprs.broadcastCentroids(spark, cents, cnorms)
+    val viaBroadcast = vecs.select(col("vec_id"),
+      VecExprs.argMaxCosBroadcast(col("embedding"), bc).as("idx"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaLiteral = vecs.select(col("vec_id"),
+      VecExprs.argMaxCos(col("embedding"), cents, cnorms).as("idx"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaBroadcast === viaLiteral, "broadcast kernel must be bit-identical")
+    // the closure/plan payload: the literal expression embeds the C×D matrix
+    // (256×64 doubles ≈ 131 KB); the broadcast expression carries a handle
+    def serializedSize(a: AnyRef): Int = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(a); oos.close(); bos.size()
+    }
+    val litSize = serializedSize(ColumnBridge.expression(
+      VecExprs.argMaxCos(col("embedding"), cents, cnorms)))
+    val bcSize = serializedSize(ColumnBridge.expression(
+      VecExprs.argMaxCosBroadcast(col("embedding"), bc)))
+    assert(litSize > 100000, s"literal kernel should embed the matrix ($litSize bytes)")
+    assert(bcSize < 20000, s"broadcast kernel closure must stay flat, was $bcSize bytes")
+    bc.unpersist(blocking = false)
+  }
+
   test("diff data: changed fields only, exclude_field dropped, primary key re-attached") {
     import spark.implicits._
     import graft.operators.DiffData
