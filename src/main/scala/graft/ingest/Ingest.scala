@@ -54,6 +54,17 @@ object Ingest {
         * Folding is concurrency-safe beside the appends (optimistic retry;
         * late appends survive by path-level replacement). */
       morFoldEvery: Int = 0,
+      /** In MOR mode, LWW-dedup each micro-batch before appending it (the
+        * default). Semantically optional — read resolution and fold ALREADY
+        * dedup across all delta files with the same LastWriterAgg — so this
+        * is purely a cost trade: dedup pays one shuffle per batch to shrink
+        * the written delta volume by the batch's key-duplication ratio; raw
+        * appends (false — the Hudi log-file shape) make a micro-batch one
+        * shuffle-free scan+filter+write job but write every event. Measured
+        * on the 2M-event bench log (≈7× in-batch duplication): dedup wins;
+        * a low-duplication source (unique keys per batch) should turn this
+        * off and skip the shuffle. */
+      morDedupPerBatch: Boolean = true,
       /** dedup via explicit two-phase salted aggregation instead of relying
         * on max_by partial aggregation */
       saltedDedup: Int = 0,
@@ -117,8 +128,11 @@ object Ingest {
 
   /** Split `seg` into (apply-now, held-back-count); held rows are persisted
     * under `_pending/batch-<id>-seg<k>` (overwritten on a foreachBatch retry —
-    * exactly-once for the side store like dead letters). */
-  private def holdBack(table: LakeTable, seg: DataFrame, imageFields: Set[String],
+    * exactly-once for the side store like dead letters). Also the FOLD-time
+    * resolve guard for merge-on-read (`Mor.fold`): MOR appends store events
+    * schema-agnostically, so unresolved-field hold-back happens exactly once,
+    * when deltas fold into base. */
+  private[ingest] def holdBack(table: LakeTable, seg: DataFrame, imageFields: Set[String],
       batchId: Long, segIdx: Int): (DataFrame, Long) = {
     val unresolved = MergeApply.bindImageFields(table.snapshot, imageFields)._2
     if (unresolved.isEmpty) return (seg, 0L)
@@ -186,6 +200,11 @@ object Ingest {
       // foreachBatch retry of an already-committed batch: exact no-op.
       return BatchMetrics(batchId, 0, 0, 0, 0, 0, 0, 0, 0, snap0.version)
     }
+
+    // Merge-on-read batches take a dedicated fused path: ONE distributed job
+    // per micro-batch (appends are schema-agnostic, so no probe/barrier pass
+    // is needed — see applyBatchMor).
+    if (cfg.morMode) return applyBatchMor(table, batch, batchId, cfg)
 
     // predicate pieces (pure Columns — composed into ONE stats pass)
     // try_element_at: a partition absent from the fence map must read as
@@ -294,10 +313,7 @@ object Ingest {
               val extraM =
                 if (heldN > 0) extra + ("pendingHeldBack" -> heldN) else extra
               val r =
-                if (cfg.morMode)
-                  MergeApply.appendDelta(table, deduped,
-                    fenceDelta = obsFence, batchId = batchId, extraMetrics = extraM)
-                else MergeApply.merge(table, deduped,
+                MergeApply.merge(table, deduped,
                   fenceDelta = obsFence, batchId = batchId, salt = cfg.salt,
                   extraMetrics = extraM,
                   selection = Some(MergeApply.FileSelection(
@@ -341,8 +357,7 @@ object Ingest {
       // the plan-literal lookup; a large manifest (10^5+ files at 100 TB)
       // goes through a SECOND narrow job with a broadcast range join instead
       // — plan size must stay O(1) in the file count
-      // MOR appends never rewrite base files, so hit discovery is skipped
-      val literalHits = !cfg.morMode &&
+      val literalHits =
         snap0.files.nonEmpty && MergeApply.useLiteralManifest(snap0)
       val aggs =
         if (!literalHits) baseAggs
@@ -378,7 +393,7 @@ object Ingest {
         if (src >= 0 && total > 0) (src.toDouble * keysHint / total).toLong else -1L
       }
       val hitFiles: Seq[graft.lake.DataFile] =
-        if (snap0.files.isEmpty || cfg.morMode) Seq.empty
+        if (snap0.files.isEmpty) Seq.empty
         else if (literalHits)
           stats.flatMap(_.getSeq[scala.collection.Seq[Int]](9).flatten)
             .distinct.sorted.map(snap0.files)
@@ -425,20 +440,10 @@ object Ingest {
             val m = Map("deadLetters" -> dlCount, "eventsSeen" -> total)
             if (heldTotal > 0) m + ("pendingHeldBack" -> heldTotal) else m
           }
-        val r =
-          if (cfg.morMode)
-            MergeApply.appendDelta(table, deduped, fence,
-              batchId = if (isLast) batchId else -1L, extraMetrics = extras,
-              // a whole-batch segment can ALSO be empty: a barrier-DDL
-              // segment's seq range may hold no rows, a rule filter may match
-              // nothing, hold-back may have taken every live row — an
-              // unguarded empty observed write risks the AQE
-              // empty-relation/CollectMetrics hang
-              mayBeEmpty = !wholeBatch || heldN > 0 || rowCount == 0)
-          else MergeApply.merge(table, deduped, fence,
-            batchId = if (isLast) batchId else -1L, salt = cfg.salt,
-            extraMetrics = extras,
-            selection = selection)
+        val r = MergeApply.merge(table, deduped, fence,
+          batchId = if (isLast) batchId else -1L, salt = cfg.salt,
+          extraMetrics = extras,
+          selection = selection)
         applied += r.eventsApplied; tombstones += r.tombstonesWritten
         conflicts += r.conflictsLww
       }
@@ -501,6 +506,147 @@ object Ingest {
       drainPending(table)
       bm
     }
+  }
+
+  /** Merge-on-read batch application — ONE distributed job per micro-batch.
+    *
+    * Why appends need no probe/barrier pass: a delta append stores EVENTS
+    * verbatim (repo, path, op, seq, after-image) — nothing is resolved
+    * against the schema at write time. All schema sensitivity lives at READ
+    * and FOLD time, where [[graft.lake.ImageBinding]] binds image fields
+    * through the schema log by column id (rename-safe) and `Mor.fold` holds
+    * back rows whose fields the schema STILL cannot resolve (the cross-batch
+    * DDL hole, handled once at the resolve point instead of per batch). So:
+    *
+    *  - counts, fence high-water marks, dead-letter counts, the batch's max
+    *    seq AND the (rare, tiny) DDL list all ride the append job as ONE
+    *    Observation on the source scan — no separate probe job;
+    *  - in-batch DDL ordering needs no barrier split: events commute with
+    *    schema-only commits because binding happens later. DDL schema
+    *    commits are applied (ddlSeq-fenced) BEFORE the data commit, so a
+    *    crash between them re-runs the batch and re-skips the applied DDL;
+    *  - the data commit (fence + batchId + delta files) remains the single
+    *    atomic exactly-once point, exactly like the COW path.
+    *
+    * Steady-state cost per micro-batch: one scan(+optional dedup shuffle) +
+    * flat parquet write + a handful of footer reads + one pointer commit. */
+  private def applyBatchMor(
+      table: LakeTable,
+      batch: DataFrame,
+      batchId: Long,
+      cfg: IngestConfig): BatchMetrics = timed(s"mor-batch-$batchId") {
+    val snap0 = table.snapshot
+    val fenceCol =
+      if (snap0.fence.isEmpty) lit(-1L)
+      else coalesce(try_element_at(typedLit(snap0.fence), col("partition")), lit(-1L))
+    val pastFence = col("offset") > fenceCol
+    val unfenced = if (cfg.orderedDelivery) pastFence else lit(true)
+    val err = Validate.errorExpr
+    val isRowOp = col("op").isin(Ops.rowOps.toSeq: _*)
+    val passes = cfg.filter.expr
+    val isLiveRow = unfenced && err.isNull && isRowOp && passes
+
+    val obs = org.apache.spark.sql.Observation(s"mor-${java.util.UUID.randomUUID()}")
+    val observed = batch.observe(obs,
+      graft.functions.PartitionLongAgg.partitionMax(col("partition"), col("offset")).as("fence"),
+      graft.functions.PartitionLongAgg.partitionSum(col("partition"), lit(1L)).as("perPartRows"),
+      count(lit(1)).as("total"),
+      sum(when(pastFence, 1L).otherwise(0L)).as("pastFence"),
+      sum(when(unfenced && err.isNotNull, 1L).otherwise(0L)).as("dl"),
+      sum(when(isLiveRow, 1L).otherwise(0L)).as("nrows"),
+      sum(when(isLiveRow && col("op") === Ops.Delete, 1L).otherwise(0L)).as("ndel"),
+      max(when(isLiveRow, col("seq"))).as("maxSeq"),
+      collect_list(when(unfenced && err.isNull && col("op") === Ops.Ddl,
+        struct(col("seq"), col("ddl")))).as("ddls"))
+    val rowEvents = observed.filter(isLiveRow)
+    val payload =
+      if (!cfg.morDedupPerBatch)
+        rowEvents.select(col("repo"), col("path"), col("op"), col("seq"), col("after"))
+      else if (cfg.saltedDedup > 1) Dedup.lastWriterPerKeySalted(rowEvents, cfg.saltedDedup)
+      else Dedup.lastWriterPerKey(rowEvents)
+
+    // the write job IS the stats job (observation above rides its scan);
+    // an empty batch writes no files and the commit is fence-only
+    val commitDir = table.newCommitDataDir()
+    payload.write.mode("overwrite")
+      .options(Map("compression" -> "zstd",
+        "maxRecordsPerFile" -> snap0.targetFileRows.toString))
+      .parquet(commitDir)
+    val newDeltas = table.listWrittenFilesFlat(commitDir, snap0.schemaId)
+
+    // timed read (MergeApply.observedMetrics): a pruned metrics node must
+    // surface loudly, never hang the stream. When the written payload is
+    // EMPTY (all rows fenced/filtered, or an empty trigger), AQE's
+    // empty-relation propagation can drop the CollectMetrics node and the
+    // observation comes back EMPTY — exactly the round-2 hazard the COW path
+    // dodges with its rowCount==0 special case. Those batches (and only
+    // those) fall back to one dedicated per-partition stats job.
+    // a blocked (never-delivering) observation surfaces as TimeoutException
+    // after 120s — treat like the empty case and recompute from the source
+    val mm0 = try MergeApply.observedMetrics(obs)
+      catch { case _: java.util.concurrent.TimeoutException => Map.empty[String, Any] }
+    val mm: Map[String, Any] =
+      if (mm0.nonEmpty) mm0
+      else {
+        val rows = batch.groupBy(col("partition")).agg(
+          count(lit(1)).as("n"),
+          max(col("offset")).as("maxOff"),
+          sum(when(pastFence, 1L).otherwise(0L)).as("pastFence"),
+          sum(when(unfenced && err.isNotNull, 1L).otherwise(0L)).as("dl"),
+          sum(when(isLiveRow, 1L).otherwise(0L)).as("nrows"),
+          sum(when(isLiveRow && col("op") === Ops.Delete, 1L).otherwise(0L)).as("ndel"),
+          max(when(isLiveRow, col("seq"))).as("maxSeq"),
+          collect_list(when(unfenced && err.isNull && col("op") === Ops.Ddl,
+            struct(col("seq"), col("ddl")))).as("ddls")).collect()
+        def sumL(i: Int): Long = rows.map(r => if (r.isNullAt(i)) 0L else r.getLong(i)).sum
+        Map(
+          "total" -> sumL(1),
+          "pastFence" -> sumL(3), "dl" -> sumL(4), "nrows" -> sumL(5), "ndel" -> sumL(6),
+          "maxSeq" -> rows.flatMap(r => if (r.isNullAt(7)) None else Some(r.getLong(7)))
+            .maxOption.getOrElse(-1L),
+          "fence" -> rows.map(r => r.getInt(0) -> r.getLong(2)).toMap,
+          "perPartRows" -> rows.map(r => r.getInt(0) -> r.getLong(1)).toMap,
+          "ddls" -> rows.flatMap(_.getSeq[Row](8)).toSeq)
+      }
+    def metricL(name: String): Long = mm.get(name) match {
+      case Some(v: Long) => v
+      case Some(v: java.lang.Long) => v.longValue()
+      case _ => if (name == "maxSeq") -1L else 0L
+    }
+    val total = metricL("total"); val dlCount = metricL("dl")
+    val rowCount = metricL("nrows"); val ndel = metricL("ndel")
+    val unfencedN = if (cfg.orderedDelivery) metricL("pastFence") else total
+    val fenceDelta = graft.functions.PartitionLongAgg.metricMap(mm("fence"))
+    val perPartRows = graft.functions.PartitionLongAgg.metricMap(mm("perPartRows"))
+    val ddls: Seq[(Long, Row)] = (mm("ddls") match {
+      case s: scala.collection.Seq[_] => s.collect { case r: Row => (r.getLong(0), r.getStruct(1)) }
+      case _ => Seq.empty
+    }).sortBy(_._1).toSeq
+
+    if (dlCount > 0)
+      appendDeadLetters(table, batch.filter(unfenced && err.isNotNull), batchId)
+    // schema-only DDL commits FIRST (ddlSeq-fenced; see ordering note above)
+    ddls.foreach { case (ddlSeq, ddl) =>
+      if (ddlSeq > table.snapshot.ddlSeq) applyDdl(table, ddlSeq, ddl)
+    }
+    // delta files carry no bucket layout, so a racing rebucket cannot
+    // invalidate them — plain optimistic retry suffices for the data commit
+    graft.lake.LakeTable.withCommitRetry(table)(table.commit(
+      Set.empty, Seq.empty, fenceDelta,
+      Map("eventsApplied" -> rowCount,
+        "tombstonesWritten" -> ndel,
+        "deltaEventsAppended" -> newDeltas.iterator.map(_.rows).sum,
+        "deltaFilesWritten" -> newDeltas.size.toLong,
+        "deadLetters" -> dlCount, "eventsSeen" -> total,
+        "batches" -> 1L),
+      batchId, maxSeq = metricL("maxSeq"), newDeltaFiles = newDeltas))
+
+    val bm = BatchMetrics(batchId, total, dlCount,
+      math.max(unfencedN - dlCount - ddls.length - rowCount, 0),
+      total - unfencedN, rowCount, ndel, 0, ddls.length, table.snapshot.version)
+    timed("lineage-append")(appendLineage(table, bm, fenceDelta, perPartRows))
+    drainPending(table)
+    bm
   }
 
   /** Batch replay of a whole changelog (the `Trigger.AvailableNow`-style

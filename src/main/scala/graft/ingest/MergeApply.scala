@@ -78,16 +78,18 @@ object MergeApply {
     * must surface as a loud error, never a hung stream. Runs on a dedicated
     * daemon pool — a thread stuck on a never-delivering obs.get must not
     * poison the global ExecutionContext. */
-  private def readMetric(obs: Observation, name: String): Long = {
+  private[ingest] def observedMetrics(obs: Observation): Map[String, Any] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
-    val mm = Await.result(Future(obs.get)(metricPool), 120.seconds)
-    mm.get(name) match {
+    Await.result(Future(obs.get)(metricPool), 120.seconds)
+  }
+
+  private def readMetric(obs: Observation, name: String): Long =
+    observedMetrics(obs).get(name) match {
       case Some(v: Long) => v
       case Some(v: java.lang.Long) => v.longValue()
       case _ => if (name == "maxSeq") -1L else 0L // max over empty = null = "no rows"
     }
-  }
 
   /** Subset co-partitioning conf the engine OWNS on any session it merges in:
     * HashPartitioning(_jb) must satisfy a join clustered on (_jb, repo, path)
@@ -329,10 +331,14 @@ object MergeApply {
     * replay by ~7×). Reads resolve via [[graft.lake.MorRead]]; `Mor.fold`
     * (compaction) turns the accumulated deltas into one ordinary COW merge.
     *
-    * `delta` must be one-row-per-key (the caller's LWW dedup), same contract
-    * as [[merge]]. Fence/batchId/exactly-once semantics identical: a retried
-    * batch is skipped by the batchId fence before this is called, so delta
-    * files are never double-appended. */
+    * `delta` may carry RAW events (several per key): unlike [[merge]], the
+    * one-row-per-key contract is NOT required here, because read resolution
+    * ([[graft.lake.MorRead.deltaWinners]]) and fold LWW-dedup across ALL
+    * delta files anyway — appending raw keeps the micro-batch shuffle-free
+    * (Hudi log-file shape; see IngestConfig.morDedupPerBatch for the
+    * trade-off). Fence/batchId/exactly-once semantics identical to merge: a
+    * retried batch is skipped by the batchId fence before this is called,
+    * so delta files are never double-appended. */
   def appendDelta(
       table: LakeTable,
       delta: DataFrame,
