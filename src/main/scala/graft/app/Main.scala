@@ -108,11 +108,24 @@ object Main {
       report(spark, tableDir)
 
     case "stop" =>
-      // reference /rules/{name}/stop analog; resume = re-run `tail`/`run`
-      // with the same checkpoint dir
+      // process-level stop; resume = re-run `tail`/`run` with the same
+      // checkpoint dir
       StreamIngest.requestStop(args(1))
       println(s"stop requested for ${args(1)} (tail ends at the next batch " +
         "boundary; the in-flight micro-batch finishes its commit first)")
+
+    case "pause" =>
+      // reference /rules/{name}/stop analog: the tail's query ends at the
+      // next batch boundary but the process stays up; `start` resumes it
+      StreamIngest.requestPause(args(1))
+      println(s"pause requested for ${args(1)} (resume with `start`)")
+
+    case "start" =>
+      // reference /rules/{name}/start analog: a paused tail relaunches from
+      // its checkpoint — lossless (everything that arrived while paused
+      // is processed on resume)
+      StreamIngest.requestStart(args(1))
+      println(s"start requested for ${args(1)}")
 
     case "report" =>
       report(spark, args(1))
@@ -183,6 +196,8 @@ object Main {
       |  run     <logDir> <tableDir> <checkpointDir> [maxFilesPerTrigger]
       |  tail    <logDir> <tableDir> <checkpointDir> [maxFilesPerTrigger]  # continuous; `stop` ends it
       |  stop    <tableDir>
+      |  pause   <tableDir>                 # suspend a tail at a batch boundary (process stays up)
+      |  start   <tableDir>                 # resume a paused tail from its checkpoint
       |  replay  <logDir> <tableDir>
       |  report  <tableDir>
       |  fold    <tableDir>                 # compact merge-on-read deltas into base

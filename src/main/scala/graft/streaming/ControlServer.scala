@@ -57,16 +57,34 @@ class ControlServer(tableDir: String, port: Int = 0) extends AutoCloseable {
       respond(x, 200, lines.mkString("[", ",\n", "]"), "application/json")
     } catch { case e: Exception => respond(x, 500, errorJson(e), "application/json") })
 
-  // POST only: /stop mutates state, and a GET would let any local page stop
+  // POST only: these mutate state, and a GET would let any local page drive
   // the pipeline via a cross-origin request to 127.0.0.1
-  server.createContext("/stop", (x: HttpExchange) =>
+  private def postOnly(x: HttpExchange)(body: => String): Unit =
     try {
       if (x.getRequestMethod != "POST")
         respond(x, 405, """{"error":"use POST"}""", "application/json")
-      else {
-        StreamIngest.requestStop(tableDir)
-        respond(x, 200, """{"stop":"requested"}""", "application/json")
-      }
+      else respond(x, 200, body, "application/json")
+    } catch { case e: Exception => respond(x, 500, errorJson(e), "application/json") }
+
+  server.createContext("/stop", (x: HttpExchange) =>
+    postOnly(x) { StreamIngest.requestStop(tableDir); """{"stop":"requested"}""" })
+
+  // the reference's per-rule stop/start (/rules/{name}/stop + /start,
+  // /root/reference/rules/factory_http.go:10-48): /pause ends the query at a
+  // batch boundary but keeps the tail process + control plane alive; /start
+  // relaunches from the same checkpoint — lossless resume
+  server.createContext("/pause", (x: HttpExchange) =>
+    postOnly(x) { StreamIngest.requestPause(tableDir); """{"pause":"requested"}""" })
+
+  server.createContext("/start", (x: HttpExchange) =>
+    postOnly(x) { StreamIngest.requestStart(tableDir); """{"start":"requested"}""" })
+
+  // current loop state ("running"/"paused"), written by the tail loop
+  server.createContext("/state", (x: HttpExchange) =>
+    try {
+      val p = Paths.get(tableDir, "_control", "state")
+      val s = if (Files.exists(p)) Files.readString(p).trim else "unknown"
+      respond(x, 200, graft.lake.Json.obj("state" -> graft.lake.Json.quote(s)), "application/json")
     } catch { case e: Exception => respond(x, 500, errorJson(e), "application/json") })
 
   def start(): Int = {

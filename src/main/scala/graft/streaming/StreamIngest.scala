@@ -46,7 +46,13 @@ object StreamIngest {
         * the in-flight batch always finishes its commit; the batch that
         * observes the marker throws [[StreamIngest.GracefulStopException]]
         * having done nothing, and is re-delivered untouched on resume. */
-      stopMarkerAtBoundary: Option[java.nio.file.Path] = None): StreamingQuery = {
+      stopMarkerAtBoundary: Option[java.nio.file.Path] = None,
+      /** Same boundary semantics for PAUSE (the reference's per-rule
+        * stop/start, /root/reference/rules/factory_http.go:10-48): the query
+        * ends gracefully but [[tail]] keeps the process alive and relaunches
+        * from the SAME checkpoint when `/start` clears the marker — losslessly,
+        * unlike the reference (whose stopped rules simply miss events). */
+      pauseMarkerAtBoundary: Option[java.nio.file.Path] = None): StreamingQuery = {
 
     val raw = ChangeLog.readStream(spark, logDir, maxFilesPerTrigger)
     val events = dedupWithinWatermark match {
@@ -69,6 +75,8 @@ object StreamIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (stopMarkerAtBoundary.exists(java.nio.file.Files.exists(_)))
           throw new StreamIngest.GracefulStopException
+        if (pauseMarkerAtBoundary.exists(java.nio.file.Files.exists(_)))
+          throw new StreamIngest.GracefulPauseException
         Ingest.applyBatch(table, batch, batchId, cfg)
         // MOR compaction cadence: fold is idempotent and fenced like any
         // commit, so a crash-retry of this batch at worst re-folds a no-op
@@ -146,6 +154,31 @@ object StreamIngest {
   private def stopMarker(tableDir: String): java.nio.file.Path =
     java.nio.file.Paths.get(tableDir, "_control", "stop")
 
+  private def pauseMarker(tableDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(tableDir, "_control", "pause")
+
+  private def stateFile(tableDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(tableDir, "_control", "state")
+
+  /** Pause the tail at the next batch boundary WITHOUT ending the process:
+    * [[tail]] keeps running, serves the control plane, and relaunches the
+    * query from the same checkpoint when [[requestStart]] clears the marker.
+    * The in-process analog of the reference's `/rules/{name}/stop`. */
+  def requestPause(tableDir: String): Unit = {
+    val m = pauseMarker(tableDir)
+    java.nio.file.Files.createDirectories(m.getParent)
+    java.nio.file.Files.writeString(m, java.time.Instant.now().toString)
+  }
+
+  /** Resume a paused tail (`/rules/{name}/start` analog): clears the pause
+    * marker; the waiting [[tail]] loop relaunches from the same checkpoint,
+    * so everything that arrived while paused is processed — nothing skipped
+    * (stronger than the reference, whose stopped rules miss events). */
+  def requestStart(tableDir: String): Unit = {
+    java.nio.file.Files.deleteIfExists(pauseMarker(tableDir))
+    ()
+  }
+
   /** Request a graceful stop of the tail on `tableDir` — the file-based
     * analog of the reference's `/rules/{name}/stop` HTTP route
     * (/root/reference/rules/factory_http.go:10-25). The running query
@@ -165,8 +198,13 @@ object StreamIngest {
   final class GracefulStopException
     extends RuntimeException("graceful stop requested at batch boundary")
 
+  /** Same boundary semantics, but [[tail]] stays alive and waits for /start. */
+  final class GracefulPauseException
+    extends RuntimeException("graceful pause requested at batch boundary")
+
   private def isGracefulStop(e: Throwable): Boolean =
-    e != null && (e.isInstanceOf[GracefulStopException] || isGracefulStop(e.getCause))
+    e != null && (e.isInstanceOf[GracefulStopException] ||
+      e.isInstanceOf[GracefulPauseException] || isGracefulStop(e.getCause))
 
   /** Continuous tail with run-report listener, live HTTP control plane, and
     * graceful-stop control: progress JSONL lands in `<tableDir>/_progress/`,
@@ -184,37 +222,68 @@ object StreamIngest {
       cfg: IngestConfig = IngestConfig(),
       httpPort: Option[Int] = None): Unit = {
     val marker = stopMarker(tableDir)
-    java.nio.file.Files.deleteIfExists(marker) // stale marker must not kill a fresh run
+    val pause = pauseMarker(tableDir)
+    val state = stateFile(tableDir)
+    // stale markers must not kill/pause a fresh run
+    java.nio.file.Files.deleteIfExists(marker)
+    java.nio.file.Files.deleteIfExists(pause)
     val listener = new ProgressListener(tableDir)
     spark.streams.addListener(listener)
     val control = httpPort.map { p =>
       val c = new ControlServer(tableDir, p)
       val bound = c.start()
-      println(s"control plane on http://127.0.0.1:$bound (/report /progress /stop)")
+      println(s"control plane on http://127.0.0.1:$bound " +
+        "(/report /progress /stop /pause /start)")
       c
     }
-    val q = start(spark, logDir, tableDir, checkpointDir, maxFilesPerTrigger,
-      availableNow = false, cfg, stopMarkerAtBoundary = Some(marker))
-    // Idle-stream fallback: with no incoming data no batch boundary fires, so
-    // the marker alone would never be observed. Stop directly — but ONLY when
-    // no trigger is active, so nothing in flight is interrupted.
-    val watcher = new Thread(() => {
-      while (q.isActive) {
-        if (java.nio.file.Files.exists(marker) && !q.status.isTriggerActive) q.stop()
-        else Thread.sleep(250)
-      }
-    }, s"graft-stop-watch-${q.id}")
-    watcher.setDaemon(true)
-    watcher.start()
-    try q.awaitTermination()
-    catch {
-      case e: org.apache.spark.sql.streaming.StreamingQueryException
-        if isGracefulStop(e) => () // clean boundary stop
+    def writeState(s: String): Unit = {
+      java.nio.file.Files.createDirectories(state.getParent)
+      java.nio.file.Files.writeString(state, s)
     }
-    finally {
+    try {
+      // stop/start loop: /pause ends the query at a batch boundary but keeps
+      // the process (and control plane) alive; /start relaunches from the
+      // SAME checkpoint — lossless resume. /stop exits the loop.
+      var done = false
+      while (!done) {
+        writeState("running")
+        val q = start(spark, logDir, tableDir, checkpointDir, maxFilesPerTrigger,
+          availableNow = false, cfg, stopMarkerAtBoundary = Some(marker),
+          pauseMarkerAtBoundary = Some(pause))
+        // Idle-stream fallback: with no incoming data no batch boundary
+        // fires, so the markers alone would never be observed. Stop directly
+        // — but ONLY when no trigger is active, so nothing in flight is
+        // interrupted.
+        val watcher = new Thread(() => {
+          while (q.isActive) {
+            if ((java.nio.file.Files.exists(marker) || java.nio.file.Files.exists(pause)) &&
+              !q.status.isTriggerActive) q.stop()
+            else Thread.sleep(250)
+          }
+        }, s"graft-stop-watch-${q.id}")
+        watcher.setDaemon(true)
+        watcher.start()
+        try q.awaitTermination()
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if isGracefulStop(e) => () // clean boundary stop/pause
+        }
+        if (java.nio.file.Files.exists(marker) || !java.nio.file.Files.exists(pause)) {
+          done = true // stopped (or the query ended without a pause request)
+        } else {
+          writeState("paused")
+          while (java.nio.file.Files.exists(pause) && !java.nio.file.Files.exists(marker))
+            Thread.sleep(250)
+          if (java.nio.file.Files.exists(marker)) done = true
+          // else: /start cleared the pause marker — loop relaunches
+        }
+      }
+    } finally {
       control.foreach(_.close())
       spark.streams.removeListener(listener)
       java.nio.file.Files.deleteIfExists(marker)
+      java.nio.file.Files.deleteIfExists(pause)
+      java.nio.file.Files.deleteIfExists(state)
     }
   }
 }
