@@ -159,6 +159,43 @@ class MorSpec extends AnyFunSuite {
       "post-DDL row's old-named image fields must bind to the renamed columns")
   }
 
+  test("fold holds back winners whose image fields the schema cannot resolve yet (cross-batch DDL at the resolve point)") {
+    // MOR appends are schema-agnostic: an event carrying a field whose
+    // add_column DDL has NOT arrived is stored verbatim. The resolve point is
+    // FOLD — it must not drop the value with the delta file: the winner is
+    // held in _pending and re-applies once the DDL lands.
+    val tableDir = TestSpark.tmpDir("graft-mor-holdfold")
+    val table = LakeTable.create(spark, tableDir, numBuckets = 4)
+    def ev(seq: Long, content: String, stars: java.lang.Integer) = {
+      import spark.implicits._
+      Seq((seq, content)).toDF("seq", "content")
+        .select(lit("r1").as("repo"), lit("p1").as("path"),
+          lit("insert").as("op"), col("seq"),
+          struct(lit("r1").as("repo"), lit("p1").as("path"), lit("c0").as("commit"),
+            lit("scala").as("lang"), col("content"),
+            lit(stars).cast("int").as("stars")).as("after"))
+    }
+    MergeApply.appendDelta(table, ev(1L, "v1", 7), Map.empty) // stars ahead of its DDL
+    MergeApply.appendDelta(table, ev(2L, "v2", 9), Map.empty) // winner carries stars=9
+    // read-time resolution simply ignores the unresolved field (value stays
+    // safe inside the delta file)
+    assert(table.read().select("content").collect()(0).getString(0) === "v2")
+
+    val fr = Mor.fold(table)
+    assert(fr.deltaFilesFolded === 2)
+    assert(table.refresh().deltaFiles.isEmpty, "fold must still drop the delta files")
+    assert(table.snapshot.metrics.getOrElse("pendingHeldBack", 0L) === 1L,
+      "the winner must be held, not merged with its stars value dropped")
+    assert(table.read().count() === 0, "held row is not in the base yet")
+
+    // the DDL lands; the next drain re-applies the held winner WITH its value
+    table.evolveSchema(_.addColumn("stars", "int"), ddlSeq = 10L)
+    assert(Ingest.drainPending(table) === 1L)
+    val row = table.read().select("content", "stars").collect()(0)
+    assert(row.getString(0) === "v2" && row.getInt(1) === 9,
+      "no field arrives-before-its-DDL may be lost across a fold")
+  }
+
   test("MOR resolution preserves uncarried columns and absorbs stale replays after a delete") {
     val tableDir = TestSpark.tmpDir("graft-mor2-table")
     val table = LakeTable.create(spark, tableDir, numBuckets = 4)
