@@ -77,7 +77,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // zstd shuffle codec — engine default, see Main.scala rationale
-      .config("spark.io.compression.codec", "zstd")
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("GRAFT_SHUFFLE_CODEC", "zstd"))
       // shuffle spill files on tmpfs — same fixed-shared-disk rationale as
       // the work dir below and ScalingBench
       .config("spark.local.dir",
@@ -184,8 +185,12 @@ object ScalingBench {
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-        // zstd shuffle codec — engine default, see Main.scala rationale
-        .config("spark.io.compression.codec", "zstd")
+        // zstd shuffle codec — engine default, see Main.scala rationale;
+        // GRAFT_SHUFFLE_CODEC overrides for codec A/Bs (the win flips with
+        // host DRAM contention: zstd +7% at 16 cores on a bandwidth-starved
+        // night, lz4 ~6% ahead on a recovered one — see BENCH/BASELINE.md)
+        .config("spark.io.compression.codec",
+          sys.env.getOrElse("GRAFT_SHUFFLE_CODEC", "zstd"))
         // shuffle spill files on tmpfs too — same rationale as the work dir:
         // the sandbox's lone disk is a fixed resource a real cluster scales
         .config("spark.local.dir",

@@ -40,7 +40,8 @@ object Main {
       // 64M events: 16-core replay 7% faster than lz4, 4-core 4% slower —
       // the CPU-bound low-parallelism regime pays, the bandwidth-bound
       // regime a real multi-executor shuffle lives in wins)
-      .config("spark.io.compression.codec", "zstd")
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("GRAFT_SHUFFLE_CODEC", "zstd"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -53,7 +54,10 @@ object Main {
   private def defaultCfg: graft.ingest.Ingest.IngestConfig =
     graft.ingest.Ingest.IngestConfig(
       morMode = sys.env.get("GRAFT_MOR").exists(v => v == "1" || v == "true"),
-      morFoldEvery = sys.env.get("GRAFT_MOR_FOLD_EVERY").map(_.toInt).getOrElse(0))
+      morFoldEvery = sys.env.get("GRAFT_MOR_FOLD_EVERY").map(_.toInt).getOrElse(0),
+      // GRAFT_MOR_RAW=1: shuffle-free raw appends (skip per-batch LWW dedup;
+      // right for low-duplication sources — see IngestConfig.morDedupPerBatch)
+      morDedupPerBatch = !sys.env.get("GRAFT_MOR_RAW").exists(v => v == "1" || v == "true"))
 
   private def dispatch(spark: SparkSession, args: Array[String]): Unit = args(0) match {
     case "gen" =>

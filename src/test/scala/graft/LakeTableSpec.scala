@@ -181,6 +181,31 @@ class LakeTableSpec extends AnyFunSuite {
     assert(!reloaded.files.exists(_.path == victim.path))
   }
 
+  test("a torn manifest degrades like a torn snapshot (fall back to previous version)") {
+    // crash model: manifests are fsynced BEFORE the pointer publishes, so a
+    // published snapshot's manifests are durable — a torn manifest means
+    // disk corruption, and the reader must fall back, not brick the table
+    val dir = TestSpark.tmpDir("graft-lake-tornmf")
+    val t = LakeTable.create(spark, dir, numBuckets = 4)
+    def mkFiles(c: Int) = Seq(DataFile(0, s"data/c$c/f.parquet", 0, 5L, c * 100L, c * 100L + 9L))
+    t.commit(Set.empty, mkFiles(1), Map.empty, Map.empty) // v1: manifest A
+    t.commit(Set.empty, mkFiles(2), Map.empty, Map.empty) // v2: A reused + manifest B
+    val v2 = t.snapshot
+    assert(v2.manifests.size === 2)
+    val onlyInV2 = (v2.manifests.map(_.path).toSet --
+      t.snapshotAt(1).manifests.map(_.path).toSet).head
+    // fresh process (cold cache): simulate by corrupting the file AND making
+    // the cache miss via a COPY of the table dir under a new path
+    val dir2 = TestSpark.tmpDir("graft-lake-tornmf2")
+    org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(dir), new java.io.File(dir2))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir2).resolve(onlyInV2), """{"bucket": torn""")
+    val loaded = LakeTable.load(spark, dir2)
+    assert(loaded.snapshot.version === 1L,
+      "a snapshot whose manifest is unreadable must be skipped like a torn pointer")
+    assert(loaded.snapshot.files.map(_.path) === mkFiles(1).map(_.path))
+  }
+
   test("time travel: snapshotAt reads any committed version") {
     val dir = TestSpark.tmpDir("graft-lake-tt")
     val t = LakeTable.create(spark, dir, numBuckets = 4)

@@ -254,6 +254,10 @@ class TextDedupSpec extends AnyFunSuite {
     val scaled = AnnSearch.embedNearDupPairs(vecs, "vec_id", "embedding",
       bitsPerBand = 4, bands = 2, minCosE4 = 8000L, bucketCap = 200, planeDim = 16)
     assert(scaled.droppedBandRows.count() === 0)
+    // the per-band cap must keep the broadcast-anti-join shape (no window
+    // over the skewed bucket key), same contract as the text dedup caps
+    val plan = scaled.pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"banded cap must not plan a Window:\n${plan.take(1500)}")
     val scaledPairs = scaled.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(scaledPairs.nonEmpty, "cluster members must surface as near-dups")
     // banding recall: band 0 alone is the single-table gate — two bands can
