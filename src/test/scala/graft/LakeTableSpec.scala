@@ -181,6 +181,32 @@ class LakeTableSpec extends AnyFunSuite {
     assert(!reloaded.files.exists(_.path == victim.path))
   }
 
+  test("expiry GCs manifests referenced by no retained snapshot (grace-window protected)") {
+    import java.nio.file.{Files, Paths}
+    val dir = TestSpark.tmpDir("graft-lake-mfgc")
+    val t = LakeTable.create(spark, dir, numBuckets = 4)
+    def mkFiles(c: Int) = Seq(DataFile(0, s"data/c$c/f.parquet", 0, 5L, c * 100L, c * 100L + 9L))
+    t.commit(Set.empty, mkFiles(1), Map.empty, Map.empty)                  // v1: manifest A
+    t.commit(Set(s"data/c1/f.parquet"), mkFiles(2), Map.empty, Map.empty)  // v2: A rewritten→B
+    t.commit(Set.empty, mkFiles(3), Map.empty, Map.empty)                  // v3: B reused + C
+    def manifests() = LakeTable.listDir(Paths.get(dir, "manifests")).map(_.getFileName.toString).toSet
+    val before = manifests()
+    assert(before.size === 3, s"A (dead), B, C expected: $before")
+    // young manifests survive (could belong to an in-flight commit)
+    graft.lake.Maintenance.expireSnapshots(t, keep = 1)
+    assert(manifests() === before, "grace window must protect young manifests")
+    // past the grace window, only the retained snapshot's manifests remain
+    graft.lake.Maintenance.expireSnapshots(t, keep = 1, graceMs = 0L)
+    val after = manifests()
+    assert(after === t.snapshot.manifests.map(m =>
+      Paths.get(m.path).getFileName.toString).toSet,
+      s"expiry must drop manifests referenced by no retained snapshot: $after")
+    assert(after.size === 2, "v3 references B and C; A must be gone")
+    // the live table still reads through its (retained) manifests
+    assert(LakeTable.load(spark, dir).snapshot.files.map(_.path).toSet ===
+      (mkFiles(2) ++ mkFiles(3)).map(_.path).toSet)
+  }
+
   test("a torn manifest degrades like a torn snapshot (fall back to previous version)") {
     // crash model: manifests are fsynced BEFORE the pointer publishes, so a
     // published snapshot's manifests are durable — a torn manifest means
