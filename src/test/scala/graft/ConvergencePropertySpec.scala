@@ -112,6 +112,36 @@ class ConvergencePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MOR level: any in-order batching + interleaved folds + suffix re-delivery converges") {
+    import spark.implicits._
+    val oracleSha = oracle.map { case (r, p, sha, _) => (r, p, sha) }
+    for (trial <- 1 to 3) {
+      val rnd = new Random(4000L + trial)
+      val cuts = List.fill(1 + rnd.nextInt(6))(1 + rnd.nextInt(events.length - 1))
+      val bounds = (0 +: cuts.distinct.sorted :+ events.length).distinct
+      val batches = bounds.sliding(2).map { case Seq(a, b) => events.slice(a, b) }.toVector
+      val table = LakeTable.create(spark, TestSpark.tmpDir("graft-prop-mor"), numBuckets = 4)
+      // alternate per-batch-dedup and raw (Hudi-log-style) appends: the two
+      // write shapes must be freely mixable on one table
+      val cfgs = Seq(
+        Ingest.IngestConfig(morMode = true),
+        Ingest.IngestConfig(morMode = true, morDedupPerBatch = false))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        Ingest.applyBatch(table, b.toDS().toDF(), cfg = cfgs(i % 2))
+        if (rnd.nextInt(3) == 0) { graft.ingest.Mor.fold(table); () } // random fold points
+      }
+      // at-least-once: some suffix of the log arrives again as MOR appends
+      Ingest.applyBatch(table, events.drop(rnd.nextInt(events.length)).toDS().toDF(),
+        cfg = cfgs(trial % 2))
+      def liveSha = table.read()
+        .select(col("repo"), col("path"), sha2(col("content"), 256))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(liveSha === oracleSha, s"trial $trial read-resolution (cuts=$cuts)")
+      graft.ingest.Mor.fold(table)
+      assert(tableState(table) === oracle, s"trial $trial post-fold")
+    }
+  }
+
   test("sequential batching baseline") {
     import spark.implicits._
     val table = LakeTable.create(spark, TestSpark.tmpDir("graft-prop0"), numBuckets = 4)
