@@ -74,6 +74,32 @@ class MultiRuleSpec extends AnyFunSuite {
     assert(LakeTable.load(spark, dirB).snapshot.version > vB, "replay commits a fence-only snapshot")
   }
 
+  test("mixed write modes on one stream: a merge-on-read rule beside a copy-on-write rule") {
+    // one canal, two rules, DIFFERENT write modes — the MOR rule takes the
+    // fused append path while the COW rule runs the probe/merge path on the
+    // same shared (persisted) batches; both must converge independently
+    val logDir = TestSpark.tmpDir("graft-mrm-log")
+    val dirCow = TestSpark.tmpDir("graft-mrm-cow")
+    val dirMor = TestSpark.tmpDir("graft-mrm-mor")
+    val ckpt = TestSpark.tmpDir("graft-mrm-ckpt")
+    ChangeLog.write(ChangelogGen.events(spark, cfg), logDir, segmentsPerPartition = 4)
+    LakeTable.create(spark, dirCow, numBuckets = 8)
+    LakeTable.create(spark, dirMor, numBuckets = 8)
+    val rules = Seq(
+      Rule("cow", dirCow, Ingest.IngestConfig()),
+      Rule("mor", dirMor, Ingest.IngestConfig(morMode = true, morFoldEvery = 3)))
+    StreamIngest.runRulesAvailable(spark, logDir, rules, ckpt, maxFilesPerTrigger = 4)
+    val oracle = Oracle.contentSha(Oracle.replay(ChangelogGen.eventsLocal(cfg)))
+      .map { case ((r, p), (sha, _)) => (r, p, sha) }.toSet
+    val tCow = LakeTable.load(spark, dirCow)
+    val tMor = LakeTable.load(spark, dirMor)
+    assert(shaSet(tCow) === oracle, "COW rule must converge")
+    assert(shaSet(tMor) === oracle, "MOR rule must converge (read-time resolution)")
+    assert(tCow.snapshot.fence === tMor.snapshot.fence, "both rules share the offset fence")
+    graft.ingest.Mor.fold(tMor)
+    assert(shaSet(LakeTable.load(spark, dirMor)) === oracle, "post-fold too")
+  }
+
   test("in-log DDLs reach every rule's table (schema changes are table-wide, not filtered)") {
     val cfgDdl = cfg.copy(seed = 31L, nEvents = 6000L, ddlEvery = 2500L)
     val logDir = TestSpark.tmpDir("graft-mrd-log")
