@@ -374,7 +374,7 @@ object LakeTable {
     }
   }
 
-  private def fsyncDir(p: Path): Unit =
+  private[lake] def fsyncDir(p: Path): Unit =
     try scala.util.Using.resource(
       java.nio.channels.FileChannel.open(p, StandardOpenOption.READ))(_.force(true))
     catch { case _: java.io.IOException => () } // non-POSIX FS: best effort

@@ -157,13 +157,22 @@ object Maintenance {
 
     val retainedSnaps = retained.map(table.snapshotAt)
     // commit-dir basenames referenced by any retained snapshot (base AND
-    // merge-on-read delta files — both are live data)
+    // merge-on-read delta files — both are live data). The commit dir is the
+    // FIRST path segment under <table>/data, never a fixed parent-count walk:
+    // bucketed files sit at data/<commit>/_bucket=N/part.parquet but flat MOR
+    // delta files at data/<commit>/part.parquet (one level shallower), and a
+    // parent-count walk resolved the latter to "data" — live delta commit
+    // dirs then never entered the referenced set and were GC'd past the
+    // grace window (round-4 ADVICE, data loss).
+    val dataRoot = dir.resolve("data").toAbsolutePath.normalize
+    def commitDirOf(p: Path): Option[String] = {
+      var cur = p.toAbsolutePath.normalize
+      while (cur.getParent != null && cur.getParent != dataRoot) cur = cur.getParent
+      if (cur.getParent == null) None else Some(cur.getFileName.toString)
+    }
     val referenced: Set[String] = retainedSnaps.flatMap { s =>
-      (s.files.iterator ++ s.deltaFiles.iterator).map { f =>
-        // relative: data/<commitDir>/_bucket=N/part-*.parquet; absolute legacy
-        // paths reduce to the same basename via getParent.getParent
-        Paths.get(table.resolve(f.path)).getParent.getParent.getFileName.toString
-      }
+      (s.files.iterator ++ s.deltaFiles.iterator)
+        .flatMap(f => commitDirOf(Paths.get(table.resolve(f.path))))
     }.toSet
     val cutoff = System.currentTimeMillis() - graceMs
     val dataDir = dir.resolve("data")

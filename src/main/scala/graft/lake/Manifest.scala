@@ -94,6 +94,12 @@ object Manifest {
       ch.write(java.nio.ByteBuffer.wrap(body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       ch.force(true)
     }
+    // fsync the DIRECTORY entry too, before any snapshot pointer can
+    // reference this manifest: file contents alone are not durable if the
+    // dirent is lost in a crash — the pointer would then publish a reference
+    // to vanished bytes and the torn-manifest fallback would silently roll
+    // the table back a version (round-4 ADVICE)
+    LakeTable.fsyncDir(dir)
     val ref = ManifestRef(rel, kind, sorted.size,
       sorted.iterator.map(_.rows).sum,
       sorted.iterator.map(_.bucket).min, sorted.iterator.map(_.bucket).max,

@@ -206,6 +206,9 @@ object StreamIngest {
     e != null && (e.isInstanceOf[GracefulStopException] ||
       e.isInstanceOf[GracefulPauseException] || isGracefulStop(e.getCause))
 
+  private def isGracefulPause(e: Throwable): Boolean =
+    e != null && (e.isInstanceOf[GracefulPauseException] || isGracefulPause(e.getCause))
+
   /** Continuous tail with run-report listener, live HTTP control plane, and
     * graceful-stop control: progress JSONL lands in `<tableDir>/_progress/`,
     * a stop marker (written by [[requestStop]] / CLI `stop` / HTTP `/stop`)
@@ -253,12 +256,20 @@ object StreamIngest {
         // Idle-stream fallback: with no incoming data no batch boundary
         // fires, so the markers alone would never be observed. Stop directly
         // — but ONLY when no trigger is active, so nothing in flight is
-        // interrupted.
+        // interrupted. The watcher RECORDS which marker it acted on: deciding
+        // pause-vs-exit by re-probing the files after termination races a
+        // /start that deletes the pause marker in that window — the tail
+        // would exit entirely while the operator was told "start requested"
+        // (round-4 ADVICE).
+        val endCause = new java.util.concurrent.atomic.AtomicReference[String]("")
         val watcher = new Thread(() => {
           while (q.isActive) {
-            if ((java.nio.file.Files.exists(marker) || java.nio.file.Files.exists(pause)) &&
-              !q.status.isTriggerActive) q.stop()
-            else Thread.sleep(250)
+            val stopSeen = java.nio.file.Files.exists(marker)
+            val pauseSeen = !stopSeen && java.nio.file.Files.exists(pause)
+            if ((stopSeen || pauseSeen) && !q.status.isTriggerActive) {
+              endCause.compareAndSet("", if (stopSeen) "stop" else "pause")
+              q.stop()
+            } else Thread.sleep(250)
           }
         }, s"graft-stop-watch-${q.id}")
         watcher.setDaemon(true)
@@ -266,10 +277,11 @@ object StreamIngest {
         try q.awaitTermination()
         catch {
           case e: org.apache.spark.sql.streaming.StreamingQueryException
-            if isGracefulStop(e) => () // clean boundary stop/pause
+            if isGracefulStop(e) => // clean boundary stop/pause
+            endCause.compareAndSet("", if (isGracefulPause(e)) "pause" else "stop")
         }
-        if (java.nio.file.Files.exists(marker) || !java.nio.file.Files.exists(pause)) {
-          done = true // stopped (or the query ended without a pause request)
+        if (endCause.get() != "pause") {
+          done = true // stopped, or the query ended on its own
         } else {
           writeState("paused")
           while (java.nio.file.Files.exists(pause) && !java.nio.file.Files.exists(marker))

@@ -59,6 +59,38 @@ class MaintenanceSpec extends AnyFunSuite {
     table.read().select(col("repo"), col("path"), sha2(col("content"), 256))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
 
+  test("expiry never deletes live flat MOR delta commit dirs (graceMs=0)") {
+    import graft.ingest.MergeApply
+    import spark.implicits._
+    val tableDir = TestSpark.tmpDir("graft-gc-mor")
+    val table = LakeTable.create(spark, tableDir, numBuckets = 4)
+    def delta(ids: Seq[Int], op: String, seqBase: Long) =
+      ids.toDF("id").select(
+        concat(lit("r"), col("id") % 3).as("repo"),
+        concat(lit("f"), col("id")).as("path"),
+        lit(op).as("op"), (col("id") + seqBase).as("seq"),
+        struct(concat(lit("r"), col("id") % 3).as("repo"),
+          concat(lit("f"), col("id")).as("path"),
+          lit("c0").as("commit"), lit("scala").as("lang"),
+          concat(lit("v"), col("id") + seqBase).as("content")).as("after"))
+    MergeApply.merge(table, delta(0 until 40, "insert", 0L), Map.empty) // v1: base
+    MergeApply.appendDelta(table, delta(0 until 10, "update", 100L), Map.empty) // v2: flat deltas
+    table.commit(Set.empty, Seq.empty, Map(0 -> 1L), Map.empty) // v3: fence-only
+    val expected = liveSha(table)
+    assert(table.snapshot.deltaFiles.nonEmpty, "test needs live flat delta files")
+    val deltaCommitDirs = table.snapshot.deltaFiles
+      .map(f => java.nio.file.Paths.get(tableDir, "data")
+        .relativize(java.nio.file.Paths.get(table.resolve(f.path))).getName(0).toString)
+      .toSet
+    Maintenance.expireSnapshots(table, keep = 2, graceMs = 0L)
+    deltaCommitDirs.foreach { d =>
+      assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tableDir, "data", d)),
+        s"live MOR delta commit dir $d must survive expiry")
+    }
+    assert(liveSha(LakeTable.load(spark, tableDir)) === expected,
+      "MOR resolution must still see all delta rows after expiry")
+  }
+
   test("ad-hoc lineage is per-writer (UUID files) and the report aggregates across them") {
     import spark.implicits._
     val tableDir = TestSpark.tmpDir("graft-lineage-writers")
