@@ -100,6 +100,47 @@ object IncrementalBench {
       f"(rows appended/batch=$keysPerBatch), resolve-read $morReadSec%5.2f s, " +
       f"fold $foldSec%5.2f s")
 
+    // ---- partial fold: fold cost must be ∝ touched-bucket fraction ----
+    // Same base size, two equal-size backlogs: one confined to a single
+    // bucket (a partial fold touches 1/64 of the base), one scattered
+    // uniformly (an unconditional fold rewrites ~the whole base). The ratio
+    // is the O(touched)-vs-O(table) evidence for cadence folds at 100 TB.
+    val pt = LakeTable.create(spark, s"$work/p", numBuckets = 64,
+      targetFileRows = math.max(1024L, nBase / 64 / 8))
+    MergeApply.merge(pt, delta(0L until nBase, "insert", 0L), Map.empty)
+    val backlogN = math.min(keysPerBatch.toLong * nBatches, nBase / 64).toInt
+    val oneBucketKeys = spark.range(nBase)
+      .withColumn("b", pmod(hash(concat(lit("org/repo-"), col("id") % 4096),
+        concat(lit("src/f"), col("id"), lit(".scala"))), lit(64)))
+      .filter(col("b") === 0).limit(backlogN)
+      .collect().map(_.getLong(0)).toSeq
+    MergeApply.appendDelta(pt, delta(oneBucketKeys, "update", nBase * 50), Map.empty)
+    def rewrittenBy(body: => Unit): (Double, Long) = {
+      val before = pt.refresh().files
+      val t = System.nanoTime()
+      body
+      val sec = (System.nanoTime() - t) / 1e9
+      val after = pt.refresh().files
+      (sec, before.filterNot(f => after.exists(_.path == f.path)).map(_.rows).sum)
+    }
+    val (oneBucketFoldSec, oneBucketRows) = rewrittenBy {
+      val rp = graft.ingest.Mor.fold(pt,
+        minEventsPerBucket = math.max(1L, oneBucketKeys.size / 2L))
+      require(rp.bucketsFolded == 1, s"expected a 1-bucket partial fold, got ${rp.bucketsFolded}")
+    }
+    val rnd3 = new scala.util.Random(11)
+    val scatterKeys = Iterator.continually(math.abs(rnd3.nextLong()) % nBase)
+      .distinct.take(oneBucketKeys.size).toSeq
+    MergeApply.appendDelta(pt, delta(scatterKeys, "update", nBase * 60), Map.empty)
+    val (scatterFoldSec, scatterRows) = rewrittenBy {
+      graft.ingest.Mor.fold(pt) // unconditional: the O(table) comparison point
+    }
+    println(f"[incr] partial fold: backlog=${oneBucketKeys.size} keys; 1-bucket fold " +
+      f"$oneBucketFoldSec%5.2f s ($oneBucketRows rows rewritten) vs scattered full fold " +
+      f"$scatterFoldSec%5.2f s ($scatterRows rows rewritten); " +
+      f"time ratio ${oneBucketFoldSec / scatterFoldSec}%.3f, " +
+      f"rewrite ratio ${oneBucketRows.toDouble / math.max(1L, scatterRows)}%.4f")
+
     val line =
       f"""{"baseRows":$nBase,"keysPerBatch":$keysPerBatch,"batches":$nBatches,""" +
       f""""totalFiles":$totalFiles,"avgFilesRewritten":${fSum.toDouble / nBatches}%.1f,""" +
@@ -109,7 +150,12 @@ object IncrementalBench {
       f""""avgSec":${secSum / nBatches}%.2f,""" +
       f""""morAvgSec":${morSecSum / nBatches}%.2f,""" +
       f""""morRowsWrittenPerBatch":$keysPerBatch,""" +
-      f""""morResolveReadSec":$morReadSec%.2f,"morFoldSec":$foldSec%.2f}"""
+      f""""morResolveReadSec":$morReadSec%.2f,"morFoldSec":$foldSec%.2f,""" +
+      f""""partialFoldBacklog":${oneBucketKeys.size},""" +
+      f""""oneBucketFoldSec":$oneBucketFoldSec%.2f,"oneBucketFoldRowsRewritten":$oneBucketRows,""" +
+      f""""scatterFullFoldSec":$scatterFoldSec%.2f,"scatterFullFoldRowsRewritten":$scatterRows,""" +
+      f""""partialFoldCostRatio":${oneBucketFoldSec / scatterFoldSec}%.3f,""" +
+      f""""partialFoldRewriteRatio":${oneBucketRows.toDouble / math.max(1L, scatterRows)}%.4f}"""
     println(line)
     val p = java.nio.file.Paths.get("BENCH")
     java.nio.file.Files.createDirectories(p)

@@ -80,10 +80,14 @@ object Main {
       report(spark, tableDir)
 
     case "fold" =>
-      // compact merge-on-read delta files into the base (one COW merge)
+      // compact merge-on-read delta files into the base (one COW merge);
+      // optional minEventsPerBucket > 0 folds only dense buckets (partial)
       val table = LakeTable.load(spark, args(1))
-      val r = graft.ingest.Mor.fold(table)
-      println(s"folded: deltaFiles=${r.deltaFilesFolded} events=${r.eventsFolded}")
+      val minPerBucket = if (args.length > 2) args(2).toLong else 0L
+      val r = graft.ingest.Mor.fold(table, minPerBucket)
+      println(s"folded: deltaFiles=${r.deltaFilesFolded} events=${r.eventsFolded}" +
+        (if (r.bucketsFolded >= 0)
+          s" buckets=${r.bucketsFolded} deferred=${r.eventsDeferred}" else ""))
       report(spark, args(1))
 
     case "replay" =>

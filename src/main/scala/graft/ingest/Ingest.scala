@@ -54,6 +54,13 @@ object Ingest {
         * Folding is concurrency-safe beside the appends (optimistic retry;
         * late appends survive by path-level replacement). */
       morFoldEvery: Int = 0,
+      /** Partial-fold threshold forwarded to [[Mor.fold]] on each cadence
+        * tick: > 0 folds only buckets whose backlog reached this many
+        * events (cost O(touched buckets), the 100 TB shape — a scattered
+        * backlog no longer triggers a full-table rewrite mid-stream) and
+        * compacts the rest of the delta log; 0 keeps cadence folds
+        * unconditional. */
+      morFoldMinEventsPerBucket: Long = 0L,
       /** In MOR mode, LWW-dedup each micro-batch before appending it (the
         * default). Semantically optional — read resolution and fold ALREADY
         * dedup across all delta files with the same LastWriterAgg — so this

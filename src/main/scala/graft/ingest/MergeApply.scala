@@ -297,7 +297,12 @@ object MergeApply {
       selection: Option[FileSelection] = None,
       /** extra manifest paths dropped in the SAME commit (Mor.fold removes
         * the folded delta files atomically with the rewritten base). */
-      alsoReplacePaths: Set[String] = Set.empty): MergeResult = {
+      alsoReplacePaths: Set[String] = Set.empty,
+      /** delta EVENT files added in the SAME commit (a PARTIAL Mor.fold
+        * drops every old delta file and re-adds the unfolded remainder as a
+        * compacted delta — one atomic swap, no window where deferred events
+        * are unreadable). */
+      alsoNewDeltaFiles: Seq[DataFile] = Seq.empty): MergeResult = {
     // Optimistic-concurrency retry (Iceberg semantics): losing a snapshot
     // version race to a concurrent committer (compaction, rebucket, another
     // writer) re-runs the merge against the REFRESHED snapshot — the passed-in
@@ -308,7 +313,7 @@ object MergeApply {
     var sel = selection
     while (true) {
       try return mergeOnce(table, delta, fenceDelta, batchId, salt, extraMetrics, sel,
-        alsoReplacePaths)
+        alsoReplacePaths, alsoNewDeltaFiles)
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -431,15 +436,18 @@ object MergeApply {
       salt: Int,
       extraMetrics: => Map[String, Long],
       selection: Option[FileSelection],
-      alsoReplacePaths: Set[String] = Set.empty): MergeResult = {
+      alsoReplacePaths: Set[String] = Set.empty,
+      alsoNewDeltaFiles: Seq[DataFile] = Seq.empty): MergeResult = {
     val spark = table.spark
     val snap = table.snapshot
     val sel = selection.getOrElse(timed("select-files")(selectFiles(table, delta)))
 
     if (sel.buckets.isEmpty && sel.deltaRowsHint == 0L) {
-      // Nothing to apply — still advance the fence/lineage atomically.
-      table.commit(Set.empty, Seq.empty, fenceDelta,
-        extraMetrics + ("batches" -> 1L), batchId)
+      // Nothing to apply — still advance the fence/lineage atomically (and
+      // still swap the caller's delta files: a fold whose fold-side emptied
+      // out after hold-back must not leave the dropped paths live).
+      table.commit(alsoReplacePaths, Seq.empty, fenceDelta,
+        extraMetrics + ("batches" -> 1L), batchId, newDeltaFiles = alsoNewDeltaFiles)
       return MergeResult(0, 0, 0, 0, 0, 0, 0, 0)
     }
 
@@ -668,14 +676,14 @@ object MergeApply {
     def commitFinal(): Unit =
       try {
         table.commit(replaced, newFiles, fenceDelta, metricsDelta, batchId,
-          maxSeq = metric(obs, "maxSeq"))
+          maxSeq = metric(obs, "maxSeq"), newDeltaFiles = alsoNewDeltaFiles)
         ()
       } catch {
         case e: CommitConflictException =>
           val live = table.refresh().files.iterator.map(_.path).toSet
           if (sel.files.forall(f => live.contains(f.path)))
             table.commit(replaced, newFiles, fenceDelta, metricsDelta,
-              batchId, maxSeq = metric(obs, "maxSeq"))
+              batchId, maxSeq = metric(obs, "maxSeq"), newDeltaFiles = alsoNewDeltaFiles)
           else throw e
       }
     commitFinal()

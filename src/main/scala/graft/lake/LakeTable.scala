@@ -199,6 +199,11 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
   private def evolveManifests(
       kind: String, curEntries: Seq[DataFile], curRefs: Seq[ManifestRef],
       replacedPaths: Set[String], newEntries: Seq[DataFile]): (Seq[ManifestRef], Seq[DataFile]) = {
+    // fence-only / metadata-only commits (the streaming hot path's most
+    // common shape) change no entries of this kind: reuse refs AND the
+    // (possibly still-unhydrated) entry view untouched — zero manifest IO
+    if (curRefs.nonEmpty && replacedPaths.isEmpty && newEntries.isEmpty)
+      return (curRefs, curEntries)
     val groups: Seq[(Option[ManifestRef], Seq[DataFile])] =
       if (curRefs.nonEmpty) curRefs.map(r => (Some(r): Option[ManifestRef], Manifest.read(dir, r)))
       else if (curEntries.nonEmpty) Seq((None, curEntries)) // legacy inline → segment now
@@ -221,7 +226,10 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
       val merged = Manifest.write(dir, small.flatMap(r => Manifest.read(dir, r)), kind)
       refs = big :+ merged
     }
-    (refs, refs.flatMap(r => Manifest.read(dir, r)))
+    // entries stay LAZY: the hydrated view materializes only when a reader
+    // plans over it, and then bit-identically to a fresh process (pointer
+    // order; the just-written manifests are already in the cache)
+    (refs, new Manifest.LazyEntries(dir, refs))
   }
 
   /** Schema-only evolution commit (DDL barrier, SURVEY §3.2). `ddlSeq` is
@@ -239,27 +247,59 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
 
   /** List the parquet files written under a commit data dir (`_bucket=N/`
     * subdirs) and build manifest entries with per-file row counts and
-    * `_hkey` min/max stats straight from the Parquet footers (driver-side
-    * metadata reads — no Spark job; at real cluster scale this would be a
-    * small parallel metadata task, as in Iceberg manifest writers). */
-  def listWrittenFiles(commitDir: String, schemaId: Int): Seq[DataFile] = {
+    * `_hkey` min/max stats straight from the Parquet footers. Small commits
+    * read footers on a driver thread pool (cheap metadata fetches); past
+    * [[LakeTable.DistributedFooterStatsMinFiles]] files the reads run as a
+    * small Spark job (Iceberg manifest-writer shape) — a bulk load/rebucket
+    * at cluster scale writes 10^4+ files, and a driver-serial footer pass
+    * would be the only O(files) driver step left in the commit. Both paths
+    * produce identical entries (asserted in FilePruningSpec). */
+  def listWrittenFiles(commitDir: String, schemaId: Int,
+      distributedMinFiles: Int = LakeTable.DistributedFooterStatsMinFiles): Seq[DataFile] = {
     val root = Paths.get(dir).toAbsolutePath.normalize
     val dirs = LakeTable.listDir(Paths.get(commitDir))
       .filter(p => p.getFileName.toString.startsWith("_bucket="))
-    // footer reads are independent metadata fetches — do them concurrently
-    import scala.concurrent.{Await, Future, ExecutionContext}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = LakeTable.metaPool
-    val futures = for {
+    val targets: Seq[(Int, String)] = for {
       p <- dirs
       b = p.getFileName.toString.stripPrefix("_bucket=").toInt
       f <- LakeTable.listDir(p) if f.getFileName.toString.endsWith(".parquet")
-    } yield Future {
-      val (rows, minK, maxK) = footerStats(f)
-      val rel = root.relativize(f.toAbsolutePath.normalize).toString
-      DataFile(b, rel, schemaId, rows, minK, maxK)
-    }
-    Await.result(Future.sequence(futures), Duration.Inf).filter(_.rows > 0)
+    } yield (b, f.toAbsolutePath.normalize.toString)
+
+    val stats: Seq[(Int, String, Long, Long, Long, Long)] =
+      if (targets.size >= distributedMinFiles) {
+        val session = spark
+        import session.implicits._
+        val parallelism = math.max(1, math.min(targets.size / 16 + 1,
+          session.sparkContext.defaultParallelism * 2))
+        session.createDataset(targets).repartition(parallelism)
+          .mapPartitions { it =>
+            // executors build a plain local-FS conf; the session conf object
+            // is not serializable and carries nothing these reads need
+            val conf = new org.apache.hadoop.conf.Configuration()
+            it.map { case (b, pStr) =>
+              val p = Paths.get(pStr)
+              val (rows, minK, maxK) = LakeTable.footerStats(p, conf)
+              (b, pStr, rows, minK, maxK, Files.size(p))
+            }
+          }.collect().toSeq
+      } else {
+        // footer reads are independent metadata fetches — concurrent pool
+        import scala.concurrent.{Await, Future, ExecutionContext}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = LakeTable.metaPool
+        val conf = spark.sessionState.newHadoopConf()
+        Await.result(Future.sequence(targets.map { case (b, pStr) =>
+          Future {
+            val p = Paths.get(pStr)
+            val (rows, minK, maxK) = LakeTable.footerStats(p, conf)
+            (b, pStr, rows, minK, maxK, Files.size(p))
+          }
+        }), Duration.Inf)
+      }
+    stats.map { case (b, pStr, rows, minK, maxK, sz) =>
+      DataFile(b, root.relativize(Paths.get(pStr)).toString, schemaId, rows, minK, maxK,
+        bytes = sz)
+    }.filter(_.rows > 0)
   }
 
   /** Manifest entries for a FLAT commit dir (no `_bucket=N` layout) — the
@@ -277,34 +317,13 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
       f <- LakeTable.listDir(Paths.get(commitDir))
       if f.getFileName.toString.endsWith(".parquet")
     } yield Future {
-      val (rows, _, _) = footerStats(f)
+      val (rows, _, _) = LakeTable.footerStats(f, spark.sessionState.newHadoopConf())
       val rel = root.relativize(f.toAbsolutePath.normalize).toString
-      DataFile(-1, rel, schemaId, rows, Long.MinValue, Long.MaxValue)
+      DataFile(-1, rel, schemaId, rows, Long.MinValue, Long.MaxValue, bytes = Files.size(f))
     }
     Await.result(Future.sequence(futures), Duration.Inf).filter(_.rows > 0)
   }
 
-  /** (rowCount, min(_hkey), max(_hkey)) from one parquet footer. Missing
-    * stats degrade to the full range — pruning stays sound (over-inclusive). */
-  private def footerStats(file: Path): (Long, Long, Long) = {
-    val conf = spark.sessionState.newHadoopConf()
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file.toUri), conf)
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try {
-      val rows = reader.getRecordCount
-      val blocks = reader.getFooter.getBlocks.asScala
-      val stats = blocks.flatMap(_.getColumns.asScala)
-        .filter(_.getPath.toDotString == LakeTable.HkeyCol)
-        .map(_.getStatistics)
-        .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
-      if (stats.isEmpty) (rows, Long.MinValue, Long.MaxValue)
-      else (
-        rows,
-        stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue()).min,
-        stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue()).max)
-    } finally reader.close()
-  }
 }
 
 class CommitConflictException(msg: String) extends RuntimeException(msg)
@@ -328,6 +347,34 @@ object LakeTable {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Commits writing at least this many files compute footer stats via a
+    * Spark job instead of the driver thread pool (see listWrittenFiles). */
+  val DistributedFooterStatsMinFiles = 512
+
+  /** (rowCount, min(_hkey), max(_hkey)) from one parquet footer. Missing
+    * stats degrade to the full range — pruning stays sound (over-inclusive).
+    * Static and conf-parameterized so it runs identically on the driver pool
+    * and inside the distributed footer-stats task. */
+  private[lake] def footerStats(
+      file: Path, conf: org.apache.hadoop.conf.Configuration): (Long, Long, Long) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val rows = reader.getRecordCount
+      val blocks = reader.getFooter.getBlocks.asScala
+      val stats = blocks.flatMap(_.getColumns.asScala)
+        .filter(_.getPath.toDotString == LakeTable.HkeyCol)
+        .map(_.getStatistics)
+        .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+      if (stats.isEmpty) (rows, Long.MinValue, Long.MaxValue)
+      else (
+        rows,
+        stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue()).min,
+        stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue()).max)
+    } finally reader.close()
   }
 
   private[lake] lazy val metaPool: scala.concurrent.ExecutionContext =

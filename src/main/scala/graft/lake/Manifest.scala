@@ -23,7 +23,13 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   */
 final case class ManifestRef(
     path: String, kind: String, fileCount: Int, rows: Long,
-    minBucket: Int, maxBucket: Int, minKey: Long, maxKey: Long) {
+    minBucket: Int, maxBucket: Int, minKey: Long, maxKey: Long,
+    /** exact byte length of the manifest file at write time — the lazy-
+      * hydration integrity check (one stat, no read): a truncated/torn
+      * manifest is rejected at LOAD so the torn-crash fallback can skip the
+      * pointer, instead of surfacing as a parse error deep inside the first
+      * query that forces entries. 0 = unknown (pre-round-5 metadata). */
+    bytes: Long = 0L) {
 
   def toJson: String = Json.obj(
     "path" -> Json.quote(path),
@@ -33,13 +39,40 @@ final case class ManifestRef(
     "minBucket" -> minBucket.toString,
     "maxBucket" -> maxBucket.toString,
     "minKey" -> minKey.toString,
-    "maxKey" -> maxKey.toString)
+    "maxKey" -> maxKey.toString,
+    "bytes" -> bytes.toString)
 }
 
 object Manifest {
 
   val BaseKind = "base"
   val DeltaKind = "delta"
+
+  /** Count of manifest files actually read from disk (cache misses) —
+    * observability for the lazy-hydration contract: a fresh `load`, a
+    * fence-only commit and a `/report` must read ZERO manifest files
+    * (asserted in LakeTableSpec). */
+  val diskReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Deferred manifest hydration: a Seq[DataFile] whose entries are read
+    * only on first ELEMENT access. `length`/`size`/`isEmpty` answer from the
+    * refs' recorded stats without any IO — the hot-path predicates
+    * (`snap.files.isEmpty`, manifest-size strategy gates) stay free. The
+    * metadata paths that never touch entries (load, fence-only commit,
+    * pointer serialization, /report) therefore do zero manifest IO, and
+    * driver RAM holds entries only for snapshots something actually plans
+    * over (What's-wrong #4, round 4). */
+  final class LazyEntries(tableDir: String, refs: Seq[ManifestRef])
+      extends scala.collection.immutable.Seq[DataFile] with Serializable {
+    @transient private lazy val entries: Seq[DataFile] =
+      refs.flatMap(r => read(tableDir, r))
+    private val total: Int = refs.iterator.map(_.fileCount).sum
+    def apply(i: Int): DataFile = entries(i)
+    override def length: Int = total
+    override def knownSize: Int = total
+    override def isEmpty: Boolean = total == 0
+    def iterator: Iterator[DataFile] = if (total == 0) Iterator.empty else entries.iterator
+  }
 
   /** Bound on manifest count per kind: commits that push past it merge the
     * smallest manifests back together (amortized O(table)/rare, like
@@ -50,7 +83,8 @@ object Manifest {
   def refFromJson(n: com.fasterxml.jackson.databind.JsonNode): ManifestRef =
     ManifestRef(Json.str(n, "path"), Json.str(n, "kind"), Json.int(n, "fileCount"),
       Json.long(n, "rows"), Json.int(n, "minBucket"), Json.int(n, "maxBucket"),
-      Json.long(n, "minKey"), Json.long(n, "maxKey"))
+      Json.long(n, "minKey"), Json.long(n, "maxKey"),
+      bytes = if (n.has("bytes")) Json.long(n, "bytes") else 0L)
 
   private def resolve(tableDir: String, relPath: String): Path =
     Paths.get(tableDir).resolve(relPath).toAbsolutePath.normalize
@@ -87,11 +121,12 @@ object Manifest {
     Files.createDirectories(dir)
     val rel = s"manifests/mf-${java.util.UUID.randomUUID()}.jsonl"
     val sorted = entries.sortBy(f => (f.bucket, f.minKey, f.path))
-    val body = sorted.map(Snapshot.fileJson).mkString("", "\n", "\n")
+    val bodyBytes = sorted.map(Snapshot.fileJson).mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val p = resolve(tableDir, rel)
     scala.util.Using.resource(java.nio.channels.FileChannel.open(
       p, StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)) { ch =>
-      ch.write(java.nio.ByteBuffer.wrap(body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      ch.write(java.nio.ByteBuffer.wrap(bodyBytes))
       ch.force(true)
     }
     // fsync the DIRECTORY entry too, before any snapshot pointer can
@@ -103,7 +138,8 @@ object Manifest {
     val ref = ManifestRef(rel, kind, sorted.size,
       sorted.iterator.map(_.rows).sum,
       sorted.iterator.map(_.bucket).min, sorted.iterator.map(_.bucket).max,
-      sorted.iterator.map(_.minKey).min, sorted.iterator.map(_.maxKey).max)
+      sorted.iterator.map(_.minKey).min, sorted.iterator.map(_.maxKey).max,
+      bytes = bodyBytes.length.toLong)
     cachePut(p.toString, sorted)
     ref
   }
@@ -113,6 +149,7 @@ object Manifest {
   def read(tableDir: String, ref: ManifestRef): Seq[DataFile] = {
     val p = resolve(tableDir, ref.path)
     cacheGet(p.toString).getOrElse {
+      diskReads.incrementAndGet()
       val lines = Files.readAllLines(p)
       val out = new scala.collection.mutable.ArrayBuffer[DataFile](lines.size())
       lines.forEach { l => if (l.nonEmpty) out += Snapshot.fileFromJson(Json.parse(l)) }
@@ -120,6 +157,12 @@ object Manifest {
       cachePut(p.toString, entries)
       entries
     }
+  }
+
+  /** Drop the process-wide cache (tests only — so IO assertions measure
+    * disk reads a fresh process would do, not cache hits). */
+  private[graft] def clearCacheForTest(): Unit = cache.synchronized {
+    cache.clear(); cachedEntries = 0L
   }
 
   /** Absolute paths of a snapshot's manifests of `kind` (the DataFrame-scan

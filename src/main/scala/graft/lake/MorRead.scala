@@ -37,6 +37,25 @@ object MorRead {
     * is abandoned. Same sizing rationale as MergeApply.BroadcastDeltaMaxRows. */
   val BroadcastWinnersMaxRows = 100000L
 
+  /** Above this many delta BYTES (on-disk compressed, from the manifest) the
+    * broadcast shape is abandoned regardless of row count — the same
+    * semantics as the COW merge's [[graft.ingest.MergeApply.BroadcastDeltaMaxBytes]]
+    * gate (a row-count gate alone lets 100k events of 1 MB contents build a
+    * ~100 GB broadcast and OOM every executor on every MOR read). */
+  val BroadcastDeltaMaxBytes: Long = graft.ingest.MergeApply.BroadcastDeltaMaxBytes
+
+  /** Total on-disk bytes of a snapshot's delta files. Manifest `bytes` when
+    * recorded; legacy entries (bytes=0) fall back to a driver-cheap stat; a
+    * failed stat counts as effectively-infinite, so unknown sizes degrade to
+    * the safe (non-broadcast) shape, never to an OOM. */
+  def deltaBytes(table: LakeTable, s: Snapshot): Long =
+    s.deltaFiles.iterator.map { f =>
+      if (f.bytes > 0L) f.bytes
+      else
+        try java.nio.file.Files.size(java.nio.file.Paths.get(table.resolve(f.path)))
+        catch { case _: java.io.IOException => Long.MaxValue / 1024 }
+    }.foldLeft(0L)((a, b) => if (a + b < 0) Long.MaxValue else a + b)
+
   /** The deduped winning event per key across all delta files. */
   def deltaWinners(table: LakeTable, s: Snapshot): DataFrame = {
     val spark = table.spark
@@ -54,7 +73,8 @@ object MorRead {
 
   /** Current rows of a MOR snapshot: base resolved against deduped deltas. */
   def resolve(table: LakeTable, s: Snapshot,
-      broadcastMaxRows: Long = BroadcastWinnersMaxRows): DataFrame = {
+      broadcastMaxRows: Long = BroadcastWinnersMaxRows,
+      broadcastMaxBytes: Long = BroadcastDeltaMaxBytes): DataFrame = {
     val sch = s.schema
     val d0 = deltaWinners(table, s)
     val imageFields: Set[String] = d0.schema("after").dataType match {
@@ -94,7 +114,7 @@ object MorRead {
     val keyCond = col("b.repo") === col("d.repo") && col("b.path") === col("d.path")
 
     val resolvedInternal =
-      if (s.deltaRows <= broadcastMaxRows) {
+      if (s.deltaRows <= broadcastMaxRows && deltaBytes(table, s) <= broadcastMaxBytes) {
         // broadcast shape: the base side keeps its scan partitioning (no
         // exchange); full-outer is decomposed into matched + insert residue
         // exactly like the COW merge's broadcast-incremental strategy

@@ -18,7 +18,12 @@ package graft.lake
   */
 final case class DataFile(
     bucket: Int, path: String, schemaId: Int, rows: Long,
-    minKey: Long, maxKey: Long)
+    minKey: Long, maxKey: Long,
+    /** on-disk (compressed) file size — the byte input to broadcast-shape
+      * gates ([[MorRead]]) and compaction scheduling; 0 = unknown (legacy
+      * metadata), callers must fall back to a stat or the conservative
+      * non-broadcast shape. */
+    bytes: Long = 0L)
 
 /** An immutable table snapshot. Commits are atomic: the snapshot JSON is
   * written to a tmp file (fsynced), then published via hard-link
@@ -77,8 +82,16 @@ final case class Snapshot(
 
   def schema: TableSchema = schemas.find(_.schemaId == schemaId).get
   def schemaById(id: Int): TableSchema = schemas.find(_.schemaId == id).get
-  def totalRows: Long = files.iterator.map(_.rows).sum
-  def deltaRows: Long = deltaFiles.iterator.map(_.rows).sum
+  // segmented snapshots answer row counts from the pointer's manifest stats —
+  // no entry hydration (the /report + metrics path must stay IO-free)
+  def totalRows: Long =
+    if (manifests.nonEmpty)
+      manifests.iterator.filter(_.kind == Manifest.BaseKind).map(_.rows).sum
+    else files.iterator.map(_.rows).sum
+  def deltaRows: Long =
+    if (manifests.nonEmpty)
+      manifests.iterator.filter(_.kind == Manifest.DeltaKind).map(_.rows).sum
+    else deltaFiles.iterator.map(_.rows).sum
   def filesOf(buckets: Set[Int]): Seq[DataFile] = files.filter(f => buckets.contains(f.bucket))
 
   /** The persisted pointer: segmented snapshots serialize manifest REFS, not
@@ -106,17 +119,35 @@ final case class Snapshot(
       "schemas" -> Json.arrOf(schemas.map(_.toJson))): _*)
   }
 
-  /** Fill `files`/`deltaFiles` from the manifest files (no-op for inline
-    * snapshots). IO cost is O(manifests not yet in the process cache) —
-    * after a commit, a refresh reads only the pointer plus the commit's new
-    * manifests. */
+  /** Bind `files`/`deltaFiles` to LAZY views over the manifest files (no-op
+    * for inline snapshots): entries are read only when something first plans
+    * over them — a load, a fence-only commit, `/report` and the metrics
+    * surface do ZERO manifest IO (and size/isEmpty gates answer from the
+    * pointer's recorded counts). When entries ARE forced, IO cost is
+    * O(manifests not yet in the process cache). Manifest EXISTENCE is
+    * checked eagerly (cheap stats): the torn-crash fallback in
+    * [[LakeTable.latestSnapshot]] must reject a pointer whose manifests were
+    * lost with it at LOAD time, not at first use deep inside a query. */
   def hydrate(tableDir: String): Snapshot =
     if (manifests.isEmpty) this
-    else copy(
-      files = manifests.filter(_.kind == Manifest.BaseKind)
-        .flatMap(r => Manifest.read(tableDir, r)),
-      deltaFiles = manifests.filter(_.kind == Manifest.DeltaKind)
-        .flatMap(r => Manifest.read(tableDir, r)))
+    else {
+      manifests.foreach { r =>
+        val p = java.nio.file.Paths.get(tableDir).resolve(r.path)
+        if (!java.nio.file.Files.isRegularFile(p))
+          throw new java.io.IOException(s"manifest missing: ${r.path}")
+        // stat-level integrity (no read): a torn/truncated manifest has the
+        // wrong length; same-length corruption still surfaces (as a parse
+        // error) at first entry access
+        if (r.bytes > 0L && java.nio.file.Files.size(p) != r.bytes)
+          throw new java.io.IOException(
+            s"manifest torn: ${r.path} (${java.nio.file.Files.size(p)} bytes, expected ${r.bytes})")
+      }
+      copy(
+        files = new Manifest.LazyEntries(tableDir,
+          manifests.filter(_.kind == Manifest.BaseKind)),
+        deltaFiles = new Manifest.LazyEntries(tableDir,
+          manifests.filter(_.kind == Manifest.DeltaKind)))
+    }
 }
 
 object Snapshot {
@@ -126,11 +157,13 @@ object Snapshot {
     "schemaId" -> f.schemaId.toString,
     "rows" -> f.rows.toString,
     "minKey" -> f.minKey.toString,
-    "maxKey" -> f.maxKey.toString)
+    "maxKey" -> f.maxKey.toString,
+    "bytes" -> f.bytes.toString)
 
   private[lake] def fileFromJson(f: com.fasterxml.jackson.databind.JsonNode): DataFile =
     DataFile(Json.int(f, "bucket"), Json.str(f, "path"), Json.int(f, "schemaId"),
-      Json.long(f, "rows"), Json.long(f, "minKey"), Json.long(f, "maxKey"))
+      Json.long(f, "rows"), Json.long(f, "minKey"), Json.long(f, "maxKey"),
+      bytes = if (f.has("bytes")) Json.long(f, "bytes") else 0L)
 
   def fromJson(s: String): Snapshot = {
     val n = Json.parse(s)

@@ -82,7 +82,7 @@ object StreamIngest {
         // commit, so a crash-retry of this batch at worst re-folds a no-op
         if (cfg.morMode && cfg.morFoldEvery > 0 && batchId > 0 &&
             batchId % cfg.morFoldEvery == 0) {
-          graft.ingest.Mor.fold(table)
+          graft.ingest.Mor.fold(table, cfg.morFoldMinEventsPerBucket)
           ()
         }
         ()

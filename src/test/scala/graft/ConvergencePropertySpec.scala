@@ -128,7 +128,14 @@ class ConvergencePropertySpec extends AnyFunSuite {
         Ingest.IngestConfig(morMode = true, morDedupPerBatch = false))
       batches.zipWithIndex.foreach { case (b, i) =>
         Ingest.applyBatch(table, b.toDS().toDF(), cfg = cfgs(i % 2))
-        if (rnd.nextInt(3) == 0) { graft.ingest.Mor.fold(table); () } // random fold points
+        // random fold points, randomly FULL or PARTIAL (threshold drawn so
+        // that sometimes only dense buckets fold, sometimes nothing folds
+        // and the delta log just compacts/no-ops) — every mix must converge
+        if (rnd.nextInt(3) == 0) {
+          graft.ingest.Mor.fold(table,
+            minEventsPerBucket = Seq(0L, 5L, 50L)(rnd.nextInt(3)))
+          ()
+        }
       }
       // at-least-once: some suffix of the log arrives again as MOR appends
       Ingest.applyBatch(table, events.drop(rnd.nextInt(events.length)).toDS().toDF(),

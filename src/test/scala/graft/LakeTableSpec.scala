@@ -181,6 +181,34 @@ class LakeTableSpec extends AnyFunSuite {
     assert(!reloaded.files.exists(_.path == victim.path))
   }
 
+  test("lazy hydration: fresh load + fence-only commit + /report read ZERO manifest files") {
+    val dir = TestSpark.tmpDir("graft-lake-lazy")
+    val t = LakeTable.create(spark, dir, numBuckets = 16)
+    def mkFiles(commit: Int, n: Int): Seq[DataFile] = (0 until n).map { i =>
+      DataFile(bucket = i % 16, path = s"data/c$commit/_bucket=${i % 16}/f$i.parquet",
+        schemaId = 0, rows = 10L, minKey = commit * 1000000L + 2L * i,
+        maxKey = commit * 1000000L + 2L * i + 1L)
+    }
+    (1 to 20).foreach(c => t.commit(Set.empty, mkFiles(c, 5000), Map.empty, Map.empty))
+    // cold process: drop the manifest cache so IO counting is honest
+    Manifest.clearCacheForTest()
+    val before = Manifest.diskReads.get()
+    val t2 = LakeTable.load(spark, dir)
+    // sizes/rows answer from the pointer's manifest stats, not from entries
+    assert(t2.snapshot.files.size === 100000)
+    assert(t2.snapshot.totalRows === 100000L * 10)
+    t2.commit(Set.empty, Seq.empty, Map(0 -> 42L), Map("fenceOnly" -> 1L)) // streaming hot path
+    assert(t2.snapshot.files.size === 100000)
+    val reportJson = LakeTable.peekSnapshot(dir).get.toJson // what /report serves
+    assert(reportJson.contains("manifestList"))
+    assert(Manifest.diskReads.get() === before,
+      s"load + fence-only commit + report must read zero manifest files, " +
+        s"read ${Manifest.diskReads.get() - before}")
+    // first real entry access hydrates — and reconstructs the exact file set
+    assert(t2.snapshot.files.iterator.map(_.rows).sum === 100000L * 10)
+    assert(Manifest.diskReads.get() > before, "forcing entries must hydrate")
+  }
+
   test("expiry GCs manifests referenced by no retained snapshot (grace-window protected)") {
     import java.nio.file.{Files, Paths}
     val dir = TestSpark.tmpDir("graft-lake-mfgc")

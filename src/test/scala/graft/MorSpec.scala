@@ -27,6 +27,97 @@ class MorSpec extends AnyFunSuite {
   private val cfg = GenConfig(seed = 37L, nEvents = 10000L, nRepos = 25,
     pathsPerRepo = 10, nPartitions = 4, contentLen = 60)
 
+  test("MOR read broadcast shape is byte-gated like the COW merge") {
+    import spark.implicits._
+    val tableDir = TestSpark.tmpDir("graft-mor-bytes")
+    val table = LakeTable.create(spark, tableDir, numBuckets = 4)
+    def rows(ids: Seq[Int], op: String, seqBase: Long) =
+      ids.toDF("id").select(
+        concat(lit("r"), col("id") % 3).as("repo"), concat(lit("f"), col("id")).as("path"),
+        lit(op).as("op"), (col("id") + seqBase).as("seq"),
+        struct(concat(lit("r"), col("id") % 3).as("repo"),
+          concat(lit("f"), col("id")).as("path"), lit("c0").as("commit"),
+          lit("scala").as("lang"), concat(lit("v"), col("id") + seqBase).as("content")).as("after"))
+    MergeApply.merge(table, rows(0 until 50, "insert", 0L), Map.empty)
+    MergeApply.appendDelta(table, rows(0 until 8, "update", 100L), Map.empty)
+    val s = table.refresh()
+    assert(s.deltaFiles.forall(_.bytes > 0L), "manifest must record delta file bytes")
+
+    // few rows, under the row gate → broadcast shape by default
+    val bPlan = graft.lake.MorRead.resolve(table, s).queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"), s"expected broadcast shape:\n$bPlan")
+    // same deltas with the byte gate forced low (a stand-in for few-row/
+    // large-blob deltas, which would broadcast gigabytes under a row-only
+    // gate) → the full-outer shuffle shape, no broadcast anywhere
+    val shuffled = graft.lake.MorRead.resolve(table, s, broadcastMaxBytes = 0L)
+    val sPlan = shuffled.queryExecution.executedPlan.toString
+    assert(!sPlan.contains("BroadcastHashJoin"), s"byte gate must forbid broadcast:\n$sPlan")
+    // both shapes read identically
+    assert(graft.lake.MorRead.resolve(table, s).collect().map(_.toString).toSet ===
+      shuffled.collect().map(_.toString).toSet)
+  }
+
+  test("partial fold rewrites only dense buckets; remainder stays as one compacted delta") {
+    import spark.implicits._
+    val tableDir = TestSpark.tmpDir("graft-mor-partial")
+    val table = LakeTable.create(spark, tableDir, numBuckets = 8, targetFileRows = 16)
+    def rows(ids: Seq[Int], op: String, seqBase: Long) =
+      ids.toDF("id").select(
+        concat(lit("r"), col("id") % 5).as("repo"), concat(lit("f"), col("id")).as("path"),
+        lit(op).as("op"), (col("id") + seqBase).as("seq"),
+        struct(concat(lit("r"), col("id") % 5).as("repo"),
+          concat(lit("f"), col("id")).as("path"), lit("c0").as("commit"),
+          lit("scala").as("lang"), concat(lit("v"), col("id") + seqBase).as("content")).as("after"))
+    MergeApply.merge(table, rows(0 until 400, "insert", 0L), Map.empty)
+
+    // bucket assignment of every key, via the table's own bucket function
+    val bucketOf: Map[Int, Int] = rows(0 until 400, "insert", 0L)
+      .select(col("seq").cast("int").as("id"),
+        table.bucketExpr(col("repo"), col("path")).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val byBucket = (0 until 400).groupBy(bucketOf)
+    val dense = byBucket.maxBy(_._2.size)._1
+    val sparse = byBucket.keys.filter(_ != dense).take(2).toSeq
+    val denseKeys = byBucket(dense).take(30)
+    val sparseKeys = sparse.map(b => byBucket(b).head)
+    MergeApply.appendDelta(table, rows(denseKeys ++ sparseKeys, "update", 1000L), Map.empty)
+
+    val before = table.refresh()
+    val r = Mor.fold(table, minEventsPerBucket = 10L)
+    assert(r.bucketsFolded === 1, "only the dense bucket reaches the threshold")
+    assert(r.eventsFolded === denseKeys.size.toLong)
+    assert(r.eventsDeferred === sparseKeys.size.toLong)
+    val after = table.refresh()
+    // base rewrites confined to the dense bucket
+    val rewritten = before.files.filterNot(f => after.files.exists(_.path == f.path))
+    assert(rewritten.nonEmpty && rewritten.forall(_.bucket === dense),
+      s"partial fold must rewrite only bucket $dense, got ${rewritten.map(_.bucket).distinct}")
+    // remainder is live as a compacted delta and reads resolve it
+    assert(after.deltaFiles.nonEmpty && after.deltaRows === sparseKeys.size.toLong)
+    val contents = table.read().select(col("path"), col("content")).collect()
+      .map(r2 => r2.getString(0) -> r2.getString(1)).toMap
+    (denseKeys ++ sparseKeys).foreach { id =>
+      assert(contents(s"f$id") === s"v${id + 1000}", s"update to f$id must be visible") }
+    assert(contents.size === 400)
+
+    // threshold nobody reaches + fragmented log (< CompactDeltasMinFiles
+    // appends is a no-op; at the threshold the log compacts to one file)
+    (0 until Mor.CompactDeltasMinFiles).foreach { i =>
+      MergeApply.appendDelta(table, rows(Seq(400 + i), "insert", 2000L), Map.empty) }
+    assert(table.refresh().deltaFiles.size >= Mor.CompactDeltasMinFiles)
+    val rc = Mor.fold(table, minEventsPerBucket = 1000L)
+    assert(rc.bucketsFolded === 0 && rc.eventsFolded === 0L)
+    val compacted = table.refresh()
+    assert(compacted.deltaFiles.size <= 8, // bounded by numBuckets
+      s"delta log must compact to <= numBuckets files, got ${compacted.deltaFiles.size}")
+    assert(table.read().count() === 400L + Mor.CompactDeltasMinFiles)
+
+    // full fold still converges and empties the delta list
+    Mor.fold(table)
+    assert(table.refresh().deltaFiles.isEmpty)
+    assert(table.read().count() === 400L + Mor.CompactDeltasMinFiles)
+  }
+
   test("MOR streaming converges to the oracle; fold preserves content and empties the delta list") {
     val logDir = TestSpark.tmpDir("graft-mor-log")
     val tableDir = TestSpark.tmpDir("graft-mor-table")
