@@ -104,15 +104,31 @@ object AnnSearch {
     * which makes the trained centroids bit-reproducible in ANY engine,
     * including the DuckDB oracle, with no constraint on row order.
     *
-    * The driver-side collect is C×dim aggregated statistics per iteration
-    * (like an Iceberg stats read), never corpus data.
+    * The driver never sees corpus data: the fixed-point mean (division +
+    * round-away) is computed DISTRIBUTIVELY inside the same aggregate job,
+    * so the per-iteration collect is exactly the new centroid matrix —
+    * C×(dim+1) values, the irreducible minimum (the next iteration's
+    * broadcast needs precisely those bytes on the driver). That footprint is
+    * the algorithm's real ceiling and is enforced up front: C×dim×8 must fit
+    * `maxCentroidBytes` (default 1 GiB ⇒ C ≈ 5·10^5 at D=256, i.e. C ~ √N up
+    * to N ≈ 2.5·10^11 corpus rows) — callers above that need a hierarchical
+    * (two-level) quantizer, not a bigger driver.
     */
+  val DefaultMaxCentroidBytes: Long = 1L << 30
+
   def lloydCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      c: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+      c: Int, iters: Int,
+      maxCentroidBytes: Long = DefaultMaxCentroidBytes): Seq[(Long, Seq[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    def roundAway(x: Double): Long =
-      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    // same IEEE formulation as the generated oracle: floor(x+0.5) / ceil(x-0.5)
+    def roundAwayCol(x: Column): Column =
+      when(x >= 0, floor(x + lit(0.5d))).otherwise(ceil(x - lit(0.5d)))
+    val dim0 = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(c.toLong * dim0 * 8 <= maxCentroidBytes,
+      s"IVF centroid matrix C=$c × D=$dim0 = ${c.toLong * dim0 * 8} bytes exceeds " +
+        s"maxCentroidBytes=$maxCentroidBytes (driver + per-iteration broadcast footprint); " +
+        "raise the cap or use a hierarchical quantizer")
     val e = corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"),
       l2norm(col(vecCol)).as("nrm"))
       .persist() // scanned once per Lloyd iteration (assignment + dim sums)
@@ -148,14 +164,20 @@ object AnnSearch {
       val dims = cents.head._2.length
       val dimSums = (0 until dims).map(i =>
         sum(round(element_at(col("v"), i + 1).cast("double") * 1e6).cast("long")).as(s"s$i"))
+      // the fixed-point mean is computed IN the job (post-aggregate project on
+      // C rows): the driver collects the finished centroid components, never
+      // raw stats — collected bytes == broadcast bytes == C×(D+1) exactly
+      val comps = (0 until dims).map(i =>
+        (roundAwayCol(col(s"s$i").cast("double") / col("n").cast("double"))
+          .cast("double") / 1e6).as(s"c$i"))
       val sums = e
         .select(bestCent.as("cent_id"), col("v"))
         .groupBy(col("cent_id"))
         .agg(count(lit(1)).as("n"), dimSums: _*)
+        .select(col("cent_id") +: comps: _*)
         .collect()
       cents = sums.map { r =>
-        val n = r.getLong(1)
-        r.getLong(0) -> (0 until dims).map(i => roundAway(r.getLong(2 + i).toDouble / n) / 1e6)
+        r.getLong(0) -> (0 until dims).map(i => r.getDouble(1 + i))
       }.toSeq.sortBy(_._1)
       bc.unpersist(blocking = false)
     }

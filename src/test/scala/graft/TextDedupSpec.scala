@@ -170,6 +170,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(purity(c1) > 0.95, s"trained purity too low: ${purity(c1)}")
   }
 
+  test("IVF: Lloyd trains at C=4096, D=256 (distributed mean; flat closure) and the footprint guard trips") {
+    // C ~ sqrt(N) regime: the per-iteration driver payload must be the
+    // centroid matrix itself (the division runs inside the aggregate job),
+    // and the C×D×8 ceiling must fail fast, not OOM mid-training.
+    val n = 8192; val c = 4096; val dim = 256
+    val vecs = spark.range(n.toLong).toDF("vec_id")
+      .select(col("vec_id"), expr(
+        s"transform(sequence(0, ${dim - 1}), d -> " +
+          "cast(pmod(hash(vec_id, d), 1999) as float) / 1000.0 - 1.0)").as("embedding"))
+    val t0 = System.nanoTime()
+    val trained = AnnSearch.lloydCentroids(vecs, "vec_id", "embedding", c, iters = 2)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"C=$c D=$dim n=$n 2 iters: $secs%.1f s, ${trained.size} centroids")
+    assert(trained.nonEmpty && trained.size <= c)
+    assert(trained.forall(_._2.size === dim))
+    assert(trained.forall(_._2.forall(v => !v.isNaN && v.abs <= 1.001)))
+    val ex = intercept[IllegalArgumentException] {
+      AnnSearch.lloydCentroids(vecs, "vec_id", "embedding", c, iters = 1,
+        maxCentroidBytes = 1L << 20)
+    }
+    assert(ex.getMessage.contains("maxCentroidBytes"), ex.getMessage)
+  }
+
   test("VecArgMaxCos kernel matches the declarative argmax and breaks ties to the lowest id") {
     import spark.implicits._
     import graft.functions.VecExprs
