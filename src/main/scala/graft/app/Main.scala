@@ -115,6 +115,24 @@ object Main {
         httpPort = Some(port))
       report(spark, tableDir)
 
+    case "tailrules" =>
+      // continuous N-rule tail (the reference's one-canal/N-rules process):
+      // `tailrules <logDir> <ckptDir> <maxFiles> name=tableDir...` — pause
+      // ONE rule with `pause <itsTableDir>` (or POST /rules/{name}/pause)
+      // while the others keep consuming; `start` resumes it losslessly via a
+      // catch-up replay from the rule's own offset fence. POST /stop (or a
+      // stop marker in <ckptDir>/_graftctl) ends the whole pipeline.
+      val Array(_, logDir, ckptDir, mftS) = args.take(4)
+      val rules = args.drop(4).toSeq.map { spec =>
+        val Array(name, dir) = spec.split("=", 2)
+        if (!LakeTable.exists(dir)) LakeTable.create(spark, dir)
+        StreamIngest.Rule(name, dir, defaultCfg)
+      }
+      val rport = sys.env.get("GRAFT_HTTP_PORT").map(_.toInt).getOrElse(0)
+      StreamIngest.tailRules(spark, logDir, rules, ckptDir, mftS.toInt,
+        httpPort = Some(rport))
+      rules.foreach(r => report(spark, r.tableDir))
+
     case "stop" =>
       // process-level stop; resume = re-run `tail`/`run` with the same
       // checkpoint dir
@@ -203,6 +221,7 @@ object Main {
       |  gen     <logDir> [nEvents] [nRepos] [pathsPerRepo] [nPartitions] [ddlEvery]
       |  run     <logDir> <tableDir> <checkpointDir> [maxFilesPerTrigger]
       |  tail    <logDir> <tableDir> <checkpointDir> [maxFilesPerTrigger]  # continuous; `stop` ends it
+      |  tailrules <logDir> <checkpointDir> <maxFiles> name=tableDir...    # continuous N-rule tail; per-rule pause/start
       |  stop    <tableDir>
       |  pause   <tableDir>                 # suspend a tail at a batch boundary (process stays up)
       |  start   <tableDir>                 # resume a paused tail from its checkpoint

@@ -151,11 +151,192 @@ object StreamIngest {
     q.awaitTermination()
   }
 
+  /** CONTINUOUS multi-rule tail with PER-RULE stop/start — the reference's
+    * `/rules/{name}/stop` + `/start` surface (one canal process, N rules,
+    * pausing one rule never interrupts the others —
+    * /root/reference/rules/factory_http.go:10-48) with strictly stronger
+    * semantics: a paused rule MISSES NOTHING.
+    *
+    * Mechanics: the single shared stream never stops for a rule-level pause.
+    * Each micro-batch probes every rule's durable pause marker
+    * (`<ruleTable>/_control/pause`, written by [[requestPause]] / CLI
+    * `pause` / HTTP `/rules/{name}/pause`); a paused rule simply skips its
+    * apply, so its OWN offset fence stays put while the stream (and the
+    * other rules) advance. On resume the rule first CATCHES UP: a batch
+    * replay of the changelog applied through the rule's config with the
+    * ordered-delivery contract — every event at or below the rule's fence
+    * is skipped at the scan, everything the rule missed applies exactly
+    * once, DDLs ride the same ddlSeq fence. The reference's stopped rules
+    * simply miss events; here pause is lossless because each rule's fence
+    * is its own durable position (the `t_positions` analog, per rule).
+    *
+    * Pause markers are durable OPERATOR INTENT: they survive process
+    * restarts (a rule paused yesterday stays paused across a redeploy) and
+    * are therefore NOT cleared at startup, unlike the whole-process
+    * stop/pause markers of [[tail]].
+    *
+    * Scale: a paused rule costs nothing (no job is launched for it); the
+    * catch-up replay reads the log once in batch mode — O(log since fence)
+    * per resume with partition/offset pruning at the scan, not O(pause
+    * duration × rules).
+    *
+    * Blocks until the global stop fires (`stopCtl` marker via [[HTTP /stop]]
+    * or [[requestStopRules]]) or the query fails. */
+  def tailRules(
+      spark: SparkSession,
+      logDir: String,
+      rules: Seq[Rule],
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 8,
+      httpPort: Option[Int] = None,
+      controlDir: Option[String] = None): Unit = {
+    require(rules.nonEmpty, "at least one rule")
+    require(rules.map(_.name).distinct.size == rules.size, "rule names must be unique")
+    val ctl = java.nio.file.Paths.get(controlDir.getOrElse(rulesControlDir(checkpointDir)))
+    java.nio.file.Files.createDirectories(ctl)
+    val stopM = ctl.resolve("stop")
+    // a stale GLOBAL stop must not kill a fresh pipeline; per-rule pause
+    // markers are durable intent and deliberately survive
+    java.nio.file.Files.deleteIfExists(stopM)
+    val listener = new ProgressListener(ctl.toString)
+    spark.streams.addListener(listener)
+    val control = httpPort.map { p =>
+      val c = new RulesControlServer(ctl.toString, rules.map(r => r.name -> r.tableDir), p)
+      val bound = c.start()
+      println(s"rules control plane on http://127.0.0.1:$bound " +
+        "(/rules /rules/{name}/report|pause|start /progress /stop)")
+      c
+    }
+    val tables = rules.map(r => r -> LakeTable.load(spark, r.tableDir))
+    // A rule needs a catch-up replay when the stream may have advanced past
+    // it while it was paused. That fact must be DURABLE — a pause observed
+    // just before the whole pipeline stops, with the operator clearing the
+    // pause marker while the pipeline is down, would otherwise silently
+    // lose the gap on restart. So the first batch (or startup) that sees a
+    // rule paused persists `<table>/_control/catchup`; only a completed
+    // catch-up replay removes it.
+    def catchupMarker(dir: String): java.nio.file.Path =
+      java.nio.file.Paths.get(dir, "_control", "catchup")
+    def markCatchup(dir: String): Unit = {
+      val m = catchupMarker(dir)
+      if (!java.nio.file.Files.exists(m)) {
+        java.nio.file.Files.createDirectories(m.getParent)
+        java.nio.file.Files.writeString(m, java.time.Instant.now().toString)
+        ()
+      }
+    }
+    // applyLock serializes ALL applies to the rule tables: the live
+    // foreachBatch path and the idle-resume watcher below never run
+    // concurrently, so a catch-up replay and a live batch for the same rule
+    // cannot interleave.
+    val applyLock = new Object
+    def catchUp(rule: Rule, table: LakeTable): Unit = {
+      // lossless resume: the stream checkpoint advanced while this rule was
+      // paused, so re-read the log in batch mode and apply everything above
+      // the rule's own offset fence. Ordered delivery holds by construction
+      // — the changelog's (partition, offset) is a total order per partition
+      // and the fence covers exactly what this rule applied.
+      Ingest.replayLog(table, ChangeLog.readDF(spark, logDir),
+        rule.cfg.copy(orderedDelivery = true))
+      java.nio.file.Files.deleteIfExists(catchupMarker(rule.tableDir))
+      ()
+    }
+    rules.foreach(r => if (pauseRequested(r.tableDir)) markCatchup(r.tableDir))
+    val raw = ChangeLog.readStream(spark, logDir, maxFilesPerTrigger)
+    val q = raw.writeStream
+      .queryName(s"graft-rules-${rules.map(_.name).mkString("+")}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (java.nio.file.Files.exists(stopM))
+          throw new StreamIngest.GracefulStopException
+        applyLock.synchronized {
+          val (pausedNow, active) =
+            tables.partition { case (r, _) => pauseRequested(r.tableDir) }
+          pausedNow.foreach { case (r, _) => markCatchup(r.tableDir) }
+          val shared = if (active.size > 1) batch.persist() else batch
+          try active.foreach { case (rule, table) =>
+            if (java.nio.file.Files.exists(catchupMarker(rule.tableDir))) {
+              catchUp(rule, table)
+              // the live batch is fully covered by the replay: fence it out
+              // at the scan instead of re-merging it through LWW
+              Ingest.applyBatch(table, shared, batchId,
+                rule.cfg.copy(orderedDelivery = true))
+            } else Ingest.applyBatch(table, shared, batchId, rule.cfg)
+            if (rule.cfg.morMode && rule.cfg.morFoldEvery > 0 && batchId > 0 &&
+                batchId % rule.cfg.morFoldEvery == 0) {
+              graft.ingest.Mor.fold(table, rule.cfg.morFoldMinEventsPerBucket)
+              ()
+            }
+          } finally {
+            if (active.size > 1) { shared.unpersist(blocking = false); () }
+          }
+        }
+        ()
+      }
+      .start()
+    // Idle-stream fallback, two duties: (1) with no incoming data no batch
+    // boundary fires, so the global stop marker alone would never be
+    // observed; (2) a rule RESUMED while the stream is idle would wait
+    // forever for a batch to run its catch-up — run it here instead, under
+    // the same apply lock as the live path.
+    val watcher = new Thread(() => {
+      while (q.isActive) {
+        if (java.nio.file.Files.exists(stopM) && !q.status.isTriggerActive) q.stop()
+        else {
+          tables.foreach { case (rule, table) =>
+            if (!pauseRequested(rule.tableDir) &&
+                java.nio.file.Files.exists(catchupMarker(rule.tableDir)))
+              applyLock.synchronized {
+                // re-check under the lock: a live batch may have just done it
+                if (!pauseRequested(rule.tableDir) &&
+                    java.nio.file.Files.exists(catchupMarker(rule.tableDir)))
+                  catchUp(rule, table)
+              }
+          }
+          Thread.sleep(250)
+        }
+      }
+    }, s"graft-rules-stop-watch-${q.id}")
+    watcher.setDaemon(true)
+    watcher.start()
+    try q.awaitTermination()
+    catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException
+        if isGracefulStop(e) => // clean boundary stop
+    }
+    finally {
+      control.foreach(_.close())
+      spark.streams.removeListener(listener)
+      java.nio.file.Files.deleteIfExists(stopM)
+      ()
+    }
+  }
+
+  /** Default control dir for a [[tailRules]] pipeline (beside the Spark
+    * checkpoint state; Spark ignores unknown entries there). */
+  def rulesControlDir(checkpointDir: String): String =
+    java.nio.file.Paths.get(checkpointDir, "_graftctl").toString
+
+  /** Request a graceful stop of a [[tailRules]] pipeline. */
+  def requestStopRules(checkpointDir: String, controlDir: Option[String] = None): Unit = {
+    val ctl = java.nio.file.Paths.get(controlDir.getOrElse(rulesControlDir(checkpointDir)))
+    java.nio.file.Files.createDirectories(ctl)
+    java.nio.file.Files.writeString(ctl.resolve("stop"), java.time.Instant.now().toString)
+    ()
+  }
+
   private def stopMarker(tableDir: String): java.nio.file.Path =
     java.nio.file.Paths.get(tableDir, "_control", "stop")
 
   private def pauseMarker(tableDir: String): java.nio.file.Path =
     java.nio.file.Paths.get(tableDir, "_control", "pause")
+
+  /** Whether a pause is currently requested for `tableDir` (the durable
+    * marker [[requestPause]] writes and [[requestStart]] clears) — the
+    * per-rule "stopped?" state the control plane reports. */
+  def pauseRequested(tableDir: String): Boolean =
+    java.nio.file.Files.exists(pauseMarker(tableDir))
 
   private def stateFile(tableDir: String): java.nio.file.Path =
     java.nio.file.Paths.get(tableDir, "_control", "state")

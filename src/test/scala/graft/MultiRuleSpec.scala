@@ -100,6 +100,103 @@ class MultiRuleSpec extends AnyFunSuite {
     assert(shaSet(LakeTable.load(spark, dirMor)) === oracle, "post-fold too")
   }
 
+  test("continuous tailRules: pausing ONE rule keeps the others consuming; restart is lossless") {
+    // the reference's /rules/{name}/stop + /start (factory_http.go:10-48):
+    // one canal, N rules, stop one while the rest keep applying — but unlike
+    // the reference (whose stopped rules MISS events), the resumed rule
+    // catches up from its own offset fence and converges bit-exactly.
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import java.nio.file.{Files, Paths}
+    val logDir = TestSpark.tmpDir("graft-mrt-log")
+    val extraDir = TestSpark.tmpDir("graft-mrt-extra")
+    val dirA = TestSpark.tmpDir("graft-mrt-a")
+    val dirB = TestSpark.tmpDir("graft-mrt-b")
+    val ckpt = TestSpark.tmpDir("graft-mrt-ckpt")
+    val half = cfg.nEvents / 2
+    val all = ChangelogGen.events(spark, cfg)
+    ChangeLog.write(all.filter(col("seq") < half), logDir, segmentsPerPartition = 3)
+    LakeTable.create(spark, dirA, numBuckets = 8)
+    LakeTable.create(spark, dirB, numBuckets = 8)
+    val rules = Seq(Rule("a", dirA), Rule("b", dirB))
+
+    val tailThread = new Thread(() =>
+      StreamIngest.tailRules(spark, logDir, rules, ckpt, maxFilesPerTrigger = 2,
+        httpPort = Some(0)))
+    tailThread.start()
+    def http(method: String, path: String): (Int, String) = {
+      val portFile = Paths.get(StreamIngest.rulesControlDir(ckpt), "http.port")
+      val port = Files.readString(portFile).trim.toInt
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      val req = (if (method == "POST") b.POST(HttpRequest.BodyPublishers.noBody()) else b.GET).build()
+      val resp = HttpClient.newHttpClient().send(req, HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    def fence(dir: String): Map[Int, Long] = LakeTable.load(spark, dir).snapshot.fence
+    val firstFence = ChangelogGen.eventsLocal(cfg).filter(_.seq < half)
+      .groupBy(_.partition).map { case (p, es) => p -> es.map(_.offset).max }
+    val fullFence = ChangelogGen.eventsLocal(cfg)
+      .groupBy(_.partition).map { case (p, es) => p -> es.map(_.offset).max }
+    def caughtUp(dir: String, want: Map[Int, Long]): Boolean = {
+      val f = fence(dir)
+      want.forall { case (p, o) => f.getOrElse(p, -1L) >= o }
+    }
+    def await(what: String, deadlineMs: Long = 180000)(cond: => Boolean): Unit = {
+      val d = System.currentTimeMillis() + deadlineMs
+      while (!cond && System.currentTimeMillis() < d) Thread.sleep(250)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    try {
+      await("both rules drain the first half")(
+        Files.exists(Paths.get(StreamIngest.rulesControlDir(ckpt), "http.port")) &&
+          caughtUp(dirA, firstFence) && caughtUp(dirB, firstFence))
+
+      // pause rule A only — via the reference-shaped HTTP route
+      val (pc, pb) = http("POST", "/rules/a/pause")
+      assert(pc === 200 && pb.contains("requested"), pb)
+      assert(http("GET", "/rules")._2.contains(""""name":"a","state":"paused""""))
+      val (gc, _) = http("GET", "/rules/a/pause") // mutations are POST-only
+      assert(gc === 405)
+
+      // second half of the log arrives while A is paused
+      ChangeLog.write(all.filter(col("seq") >= half), extraDir, segmentsPerPartition = 2)
+      Files.list(Paths.get(extraDir)).filter(_.getFileName.toString.startsWith("partition=")).forEach { pd =>
+        Files.list(pd).filter(_.getFileName.toString.endsWith(".parquet")).forEach { seg =>
+          Files.copy(seg, Paths.get(logDir, pd.getFileName.toString,
+            s"part-extra-${seg.getFileName}"))
+        }
+      }
+      await("rule B consumes the second half while A is paused")(
+        caughtUp(dirB, fullFence))
+      assert(!caughtUp(dirA, fullFence), "paused rule A must not advance")
+      assert(tailThread.isAlive, "per-rule pause must not end the pipeline")
+
+      // restart A: catch-up replay from its fence, then rejoin live
+      val (sc2, sb2) = http("POST", "/rules/a/start")
+      assert(sc2 === 200 && sb2.contains("requested"), sb2)
+      await("rule A catches up after /start")(caughtUp(dirA, fullFence))
+
+      val (rc, rb) = http("GET", "/rules/a/report")
+      assert(rc === 200 && rb.contains("\"fence\""), rb.take(300))
+
+      val (stc, _) = http("POST", "/stop")
+      assert(stc === 200)
+      tailThread.join(180000)
+      assert(!tailThread.isAlive, "POST /stop must end the pipeline")
+    } finally if (tailThread.isAlive) {
+      StreamIngest.requestStopRules(ckpt); tailThread.join(60000)
+    }
+
+    // the paused-then-restarted rule lost NOTHING: both tables converge to
+    // the full-log oracle, bit-exactly
+    val oracle = Oracle.contentSha(Oracle.replay(ChangelogGen.eventsLocal(cfg)))
+      .map { case ((r, p), (sha, _)) => (r, p, sha) }.toSet
+    assert(shaSet(LakeTable.load(spark, dirA)) === oracle,
+      "restarted rule must converge (lossless catch-up)")
+    assert(shaSet(LakeTable.load(spark, dirB)) === oracle,
+      "uninterrupted rule must converge")
+  }
+
   test("in-log DDLs reach every rule's table (schema changes are table-wide, not filtered)") {
     val cfgDdl = cfg.copy(seed = 31L, nEvents = 6000L, ddlEvery = 2500L)
     val logDir = TestSpark.tmpDir("graft-mrd-log")
