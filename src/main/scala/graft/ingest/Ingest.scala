@@ -208,6 +208,19 @@ object Ingest {
       return BatchMetrics(batchId, 0, 0, 0, 0, 0, 0, 0, 0, snap0.version)
     }
 
+    // Termination-tick fast path: Trigger.AvailableNow delivers one final
+    // batch with ZERO input splits (and restarts can deliver empty catch-up
+    // batches). Detectable on the driver without running any job — the
+    // physical scan has no partitions — so the full apply pipeline (stats
+    // job, write job, footer list) collapses to one fence-only commit that
+    // still records the batchId for the exactly-once fence.
+    if (batchIsPlanEmpty(batch)) {
+      graft.lake.LakeTable.withCommitRetry(table)(table.commit(
+        Set.empty, Seq.empty, Map.empty,
+        Map("eventsSeen" -> 0L, "batches" -> 1L), batchId))
+      return BatchMetrics(batchId, 0, 0, 0, 0, 0, 0, 0, 0, table.snapshot.version)
+    }
+
     // Merge-on-read batches take a dedicated fused path: ONE distributed job
     // per micro-batch (appends are schema-agnostic, so no probe/barrier pass
     // is needed — see applyBatchMor).
@@ -575,11 +588,11 @@ object Ingest {
     // the write job IS the stats job (observation above rides its scan);
     // an empty batch writes no files and the commit is fence-only
     val commitDir = table.newCommitDataDir()
-    payload.write.mode("overwrite")
-      .options(Map("compression" -> "zstd",
+    timed(s"mor-$batchId-write")(payload.write.mode("overwrite")
+      .options(Map("compression" -> MergeApply.deltaFileCodec,
         "maxRecordsPerFile" -> snap0.targetFileRows.toString))
-      .parquet(commitDir)
-    val newDeltas = table.listWrittenFilesFlat(commitDir, snap0.schemaId)
+      .parquet(commitDir))
+    val newDeltas = timed(s"mor-$batchId-footers")(table.listWrittenFilesFlat(commitDir, snap0.schemaId))
 
     // timed read (MergeApply.observedMetrics): a pruned metrics node must
     // surface loudly, never hang the stream. When the written payload is
@@ -590,8 +603,8 @@ object Ingest {
     // those) fall back to one dedicated per-partition stats job.
     // a blocked (never-delivering) observation surfaces as TimeoutException
     // after 120s — treat like the empty case and recompute from the source
-    val mm0 = try MergeApply.observedMetrics(obs)
-      catch { case _: java.util.concurrent.TimeoutException => Map.empty[String, Any] }
+    val mm0 = timed(s"mor-$batchId-obs")(try MergeApply.observedMetrics(obs)
+      catch { case _: java.util.concurrent.TimeoutException => Map.empty[String, Any] })
     val mm: Map[String, Any] =
       if (mm0.nonEmpty) mm0
       else {
@@ -638,7 +651,7 @@ object Ingest {
     }
     // delta files carry no bucket layout, so a racing rebucket cannot
     // invalidate them — plain optimistic retry suffices for the data commit
-    graft.lake.LakeTable.withCommitRetry(table)(table.commit(
+    timed(s"mor-$batchId-commit")(graft.lake.LakeTable.withCommitRetry(table)(table.commit(
       Set.empty, Seq.empty, fenceDelta,
       Map("eventsApplied" -> rowCount,
         "tombstonesWritten" -> ndel,
@@ -646,7 +659,7 @@ object Ingest {
         "deltaFilesWritten" -> newDeltas.size.toLong,
         "deadLetters" -> dlCount, "eventsSeen" -> total,
         "batches" -> 1L),
-      batchId, maxSeq = metricL("maxSeq"), newDeltaFiles = newDeltas))
+      batchId, maxSeq = metricL("maxSeq"), newDeltaFiles = newDeltas)))
 
     val bm = BatchMetrics(batchId, total, dlCount,
       math.max(unfencedN - dlCount - ddls.length - rowCount, 0),
@@ -655,6 +668,16 @@ object Ingest {
     drainPending(table)
     bm
   }
+
+  /** True iff the batch is provably empty from the plan alone (no job, no
+    * scan): either an empty LocalRelation (how MicroBatchExecution represents
+    * a no-new-files trigger) or a physical plan with zero input partitions.
+    * `toRdd` only instantiates the plan — lazily; it launches nothing. */
+  private def batchIsPlanEmpty(batch: DataFrame): Boolean =
+    try batch.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l.data.isEmpty
+      case _ => batch.queryExecution.toRdd.getNumPartitions == 0
+    } catch { case _: Throwable => false } // never let the fast path block a batch
 
   /** Batch replay of a whole changelog (the `Trigger.AvailableNow`-style
     * entry used by tests and the benchmark's batch mode). */

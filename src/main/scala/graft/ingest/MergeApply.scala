@@ -61,6 +61,16 @@ import org.apache.spark.sql.functions._
 object MergeApply {
 
   private val prof = sys.env.contains("GRAFT_PROF")
+
+  /** Codec for short-lived delta EVENT files (MOR appends and compacted
+    * delta logs). Base files stay zstd — they live until rewritten and
+    * dominate table bytes at rest — but deltas are written once, read
+    * once or twice (MorRead / fold) and dropped, so encode speed beats
+    * ratio on the streaming hot path (Hudi log-file trade). Runtime-
+    * overridable for A/B and byte-constrained object stores. */
+  def deltaFileCodec: String = sys.props.getOrElse("graft.delta.codec",
+    sys.env.getOrElse("GRAFT_DELTA_CODEC", "snappy"))
+
   private def timed[T](name: String)(f: => T): T =
     if (!prof) f else {
       val t0 = System.nanoTime(); val r = f
@@ -406,7 +416,7 @@ object MergeApply {
         sum(when(col("op") === Ops.Delete, 1L).otherwise(0L)).as("deletes"),
         max(col("seq")).as("maxSeq"))
     rows.write.mode("overwrite") // commitDir is fresh; overwrite = retry-safe
-      .options(Map("compression" -> "zstd",
+      .options(Map("compression" -> deltaFileCodec,
         "maxRecordsPerFile" -> snap.targetFileRows.toString))
       .parquet(commitDir)
     val appended = readMetric(obs, "appended")

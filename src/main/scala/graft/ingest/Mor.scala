@@ -75,7 +75,21 @@ object Mor {
         .agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
 
+    // One materialization of the winner aggregation: the merge below reads
+    // `winners` at least twice (file selection + the merge job itself; three
+    // times with a partial split), and re-running the delta scan + LWW
+    // aggregate per consumer doubles the fold's IO. Winner cardinality is
+    // per-key (not per-event) — bounded by the backlog's distinct keys — so
+    // caching is driver-safe at any delta volume that fits the fold anyway.
     val winners = MorRead.deltaWinners(table, snap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fold0(table, snap, winners, minEventsPerBucket, backlogByBucket, deltaPaths)
+    finally { winners.unpersist(blocking = false); () }
+  }
+
+  private def fold0(table: LakeTable, snap: graft.lake.Snapshot, winners: DataFrame,
+      minEventsPerBucket: Long, backlogByBucket: Option[Map[Int, Long]],
+      deltaPaths: Set[String]): FoldResult = {
     val imageFields: Set[String] = winners.schema("after").dataType match {
       case s: org.apache.spark.sql.types.StructType => s.fieldNames.toSet
       case _ => Set.empty
@@ -120,6 +134,18 @@ object Mor {
   /** Unconditional fold — the pre-round-5 semantics. */
   private def foldFull(table: LakeTable, winners: DataFrame,
       imageFields: Set[String], deltaPaths: Set[String]): FoldResult = {
+    // Empty-base fast selection (initial bulk load through MOR appends):
+    // there are no base files to select against, so the selection scan would
+    // only re-derive stats the delta manifests already carry — rows (an
+    // upper bound on winners: hint only, it feeds the broadcast gate which
+    // is moot with zero base files) and bytes — plus the bucket set, whose
+    // sole use is sizing the write (capped by shuffle.partitions anyway).
+    val snap = table.snapshot
+    val emptyBaseSel =
+      if (snap.files.nonEmpty) None
+      else Some(MergeApply.FileSelection(Seq.empty,
+        (0 until table.numBuckets).toSet, snap.deltaRows,
+        snap.deltaFiles.iterator.map(_.bytes).sum))
     val (resolvable, heldN) = Ingest.holdBack(table, winners, imageFields, -1L, 0)
     val extra = Map("morFolds" -> 1L) ++
       (if (heldN > 0) Map("pendingHeldBack" -> heldN) else Map.empty)
@@ -132,6 +158,7 @@ object Mor {
     }
     val r = MergeApply.merge(table, resolvable, Map.empty,
       extraMetrics = extra,
+      selection = emptyBaseSel,
       alsoReplacePaths = deltaPaths)
     FoldResult(deltaPaths.size, r.eventsApplied)
   }
@@ -166,7 +193,7 @@ object Mor {
     val dir = table.newCommitDataDir()
     winners.repartition(n, table.bucketExpr(col("repo"), col("path")))
       .write.mode("overwrite")
-      .options(Map("compression" -> "zstd",
+      .options(Map("compression" -> MergeApply.deltaFileCodec,
         "maxRecordsPerFile" -> table.snapshot.targetFileRows.toString))
       .parquet(dir)
     val files = table.listWrittenFilesFlat(dir, table.snapshot.schemaId)
