@@ -128,6 +128,32 @@ object IncrementalBench {
         minEventsPerBucket = math.max(1L, oneBucketKeys.size / 2L))
       require(rp.bucketsFolded == 1, s"expected a 1-bucket partial fold, got ${rp.bucketsFolded}")
     }
+    // Bucket-localized delta log (round 5): a big SCATTERED backlog compacts
+    // into per-bucket labeled files; a later dense 1-bucket burst then folds
+    // by reading ONLY its own labeled file + the fresh flat appends — cost
+    // must not scale with the total labeled backlog sitting in other buckets.
+    val rnd4 = new scala.util.Random(13)
+    val labeledBacklog = Iterator.continually(math.abs(rnd4.nextLong()) % nBase)
+      .distinct.take(keysPerBatch * nBatches).toSeq
+    MergeApply.appendDelta(pt, delta(labeledBacklog, "update", nBase * 55), Map.empty)
+    graft.ingest.Mor.fold(pt, minEventsPerBucket = Long.MaxValue / 2) // compaction tick → labels
+    val ls = pt.refresh()
+    require(ls.deltaFiles.nonEmpty && ls.deltaFiles.forall(_.bucket >= 0),
+      "compaction tick must leave only labeled per-bucket delta files")
+    MergeApply.appendDelta(pt, delta(oneBucketKeys, "update", nBase * 58), Map.empty)
+    val (labeledOneBucketFoldSec, labeledOneBucketRows) = rewrittenBy {
+      val rp = graft.ingest.Mor.fold(pt,
+        minEventsPerBucket = math.max(1L, oneBucketKeys.size.toLong))
+      require(rp.bucketsFolded >= 1 && rp.bucketsFolded <= 2,
+        s"expected a ~1-bucket file-group fold, got ${rp.bucketsFolded}")
+      require(rp.deltaFilesFolded < ls.deltaFiles.size + 4,
+        s"file-group fold must not read the whole labeled backlog " +
+          s"(read ${rp.deltaFilesFolded} of ${pt.refresh().deltaFiles.size + rp.deltaFilesFolded})")
+    }
+    println(f"[incr] labeled 1-bucket fold (backlog ${labeledBacklog.size} keys in " +
+      f"${ls.deltaFiles.size} labeled files): $labeledOneBucketFoldSec%5.2f s " +
+      f"($labeledOneBucketRows rows rewritten)")
+
     val rnd3 = new scala.util.Random(11)
     val scatterKeys = Iterator.continually(math.abs(rnd3.nextLong()) % nBase)
       .distinct.take(oneBucketKeys.size).toSeq
@@ -153,6 +179,9 @@ object IncrementalBench {
       f""""morResolveReadSec":$morReadSec%.2f,"morFoldSec":$foldSec%.2f,""" +
       f""""partialFoldBacklog":${oneBucketKeys.size},""" +
       f""""oneBucketFoldSec":$oneBucketFoldSec%.2f,"oneBucketFoldRowsRewritten":$oneBucketRows,""" +
+      f""""labeledBacklogKeys":${labeledBacklog.size},"labeledFiles":${ls.deltaFiles.size},""" +
+      f""""labeledOneBucketFoldSec":$labeledOneBucketFoldSec%.2f,""" +
+      f""""labeledOneBucketFoldRowsRewritten":$labeledOneBucketRows,""" +
       f""""scatterFullFoldSec":$scatterFoldSec%.2f,"scatterFullFoldRowsRewritten":$scatterRows,""" +
       f""""partialFoldCostRatio":${oneBucketFoldSec / scatterFoldSec}%.3f,""" +
       f""""partialFoldRewriteRatio":${oneBucketRows.toDouble / math.max(1L, scatterRows)}%.4f}"""

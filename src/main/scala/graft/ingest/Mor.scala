@@ -3,6 +3,7 @@ package graft.ingest
 import graft.lake.{DataFile, LakeTable, MorRead}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Merge-on-read orchestration (the fold half; writes go through
   * [[MergeApply.appendDelta]], reads through [[graft.lake.MorRead]]).
@@ -21,11 +22,21 @@ import org.apache.spark.sql.functions._
   * operation a cadence-triggered fold must never be. Instead, only buckets
   * whose backlog has reached `minEventsPerBucket` events fold (their base
   * rewrite is then amortized over a worthwhile batch of keys — Hudi's
-  * file-group compaction-scheduling shape); the remaining winners are
-  * re-written as ONE compacted delta file and swapped in atomically with the
-  * fold commit, so fold cost is proportional to the touched-bucket fraction
-  * and read amplification still shrinks (N delta files → 1, raw events →
-  * winners) even for the deferred part.
+  * file-group compaction-scheduling shape). The delta log itself is
+  * bucket-localized: deferred winners are written as PER-BUCKET compacted
+  * delta files (`_bucket=N` layout, labels in the manifest), so a later
+  * partial fold of bucket set S reads ONLY the flat append files plus the
+  * labeled files of S — per-tick cost is O(recent appends + selected
+  * buckets), never O(total backlog) — and the scheduling backlog for
+  * labeled files comes straight off the manifest, no scan.
+  *
+  * Label safety: bucket labels are PRUNING HINTS, not a correctness
+  * dependency. A fold of S replaces exactly the files it read, folds their
+  * `bucketExpr ∈ S` rows and re-defers the rest to the remainder write, so
+  * a mislabeled row is either rewritten or left live in a kept file (where
+  * LWW keeps it competing at read/fold time) — never dropped. Labels can
+  * only go stale through a rebucket, which refuses to run while delta files
+  * exist ([[graft.lake.LakeTable]] guards it).
   */
 object Mor {
 
@@ -33,21 +44,22 @@ object Mor {
       deltaFilesFolded: Int, eventsFolded: Long,
       /** buckets whose base files were rewritten; -1 = unconditional fold. */
       bucketsFolded: Int = -1,
-      /** winner rows deferred to the compacted remainder delta (partial). */
+      /** winner rows deferred to compacted per-bucket deltas (partial). */
       eventsDeferred: Long = 0L)
 
   /** When no bucket reaches the partial-fold threshold, a fold tick still
-    * compacts the delta LOG (winners-only rewrite, no base rewrite) once
-    * this many delta files have accumulated — bounding read amplification
-    * between real folds without paying any O(base) work. */
+    * compacts the fragmented part of the delta LOG (flat append files plus
+    * any bucket split across >1 labeled file — winners-only rewrite, no
+    * base rewrite) once this many such files have accumulated — bounding
+    * read amplification between real folds without paying any O(base) work. */
   val CompactDeltasMinFiles = 16
 
   /** Fold delta files into the base. Safe beside a live MOR tail: a
     * concurrent append between our read and commit just wins the version
     * race — merge's optimistic retry re-runs against the refreshed snapshot,
     * and deltas appended AFTER our read survive in the manifest (only the
-    * paths we read are dropped; the unfolded remainder is re-added as a
-    * compacted delta file in the same commit).
+    * paths we read are dropped; deferred winners are re-added as compacted
+    * per-bucket delta files in the same commit).
     *
     * Fold is MOR's RESOLVE point, so the cross-batch DDL hold-back happens
     * here (appends are schema-agnostic and never hold back): winners whose
@@ -62,76 +74,106 @@ object Mor {
   def fold(table: LakeTable, minEventsPerBucket: Long = 0L): FoldResult = {
     val snap = table.refresh()
     if (snap.deltaFiles.isEmpty) return FoldResult(0, 0L)
-    val deltaPaths = snap.deltaFiles.map(_.path).toSet
-
-    // ---- partial-fold scheduling: per-bucket backlog from ONE narrow scan
-    // (repo+path only — column pruning keeps contents out) ----
-    val backlogByBucket: Option[Map[Int, Long]] =
-      if (minEventsPerBucket <= 0L) None
-      else Some(table.spark.read
-        .option("mergeSchema", "true")
-        .parquet(snap.deltaFiles.map(f => table.resolve(f.path)): _*)
-        .groupBy(table.bucketExpr(col("repo"), col("path")).as("_b"))
-        .agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
-
-    // One materialization of the winner aggregation: the merge below reads
-    // `winners` at least twice (file selection + the merge job itself; three
-    // times with a partial split), and re-running the delta scan + LWW
-    // aggregate per consumer doubles the fold's IO. Winner cardinality is
-    // per-key (not per-event) — bounded by the backlog's distinct keys — so
-    // caching is driver-safe at any delta volume that fits the fold anyway.
-    val winners = MorRead.deltaWinners(table, snap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try fold0(table, snap, winners, minEventsPerBucket, backlogByBucket, deltaPaths)
-    finally { winners.unpersist(blocking = false); () }
+    if (minEventsPerBucket <= 0L) {
+      // One materialization of the winner aggregation: the merge below reads
+      // `winners` at least twice (hold-back probe + the merge job itself),
+      // and re-running the delta scan + LWW aggregate per consumer doubles
+      // the fold's IO. Winner cardinality is per-key (not per-event) —
+      // bounded by the backlog's distinct keys.
+      val winners = MorRead.deltaWinners(table, snap)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try foldFull(table, winners, imageFieldsOf(winners),
+        snap.deltaFiles.map(_.path).toSet)
+      finally { winners.unpersist(blocking = false); () }
+    } else foldPartial(table, snap, minEventsPerBucket)
   }
 
-  private def fold0(table: LakeTable, snap: graft.lake.Snapshot, winners: DataFrame,
-      minEventsPerBucket: Long, backlogByBucket: Option[Map[Int, Long]],
-      deltaPaths: Set[String]): FoldResult = {
-    val imageFields: Set[String] = winners.schema("after").dataType match {
+  private def imageFieldsOf(winners: DataFrame): Set[String] =
+    winners.schema("after").dataType match {
       case s: org.apache.spark.sql.types.StructType => s.fieldNames.toSet
       case _ => Set.empty
     }
 
-    backlogByBucket match {
-      case None => foldFull(table, winners, imageFields, deltaPaths)
-      case Some(counts) =>
-        val sel = counts.filter(_._2 >= minEventsPerBucket).keySet
-        if (sel.isEmpty) {
-          // nothing dense enough to be worth a base rewrite: compact the
-          // delta log itself when it has fragmented, else no-op until the
-          // backlog grows
-          if (snap.deltaFiles.size < CompactDeltasMinFiles)
-            FoldResult(0, 0L, bucketsFolded = 0, eventsDeferred = snap.deltaRows)
-          else compactDeltaLog(table, winners, deltaPaths)
-        } else if (sel.size == counts.size) {
-          // every backlogged bucket is dense: the remainder is empty, so the
-          // unconditional path is the same fold minus an empty write (base
-          // cost is O(selected buckets) either way — file selection prunes
-          // by the winners' keys)
-          foldFull(table, winners, imageFields, deltaPaths)
-            .copy(bucketsFolded = sel.size)
-        } else {
-          val bucketOf = table.bucketExpr(col("repo"), col("path"))
-          val foldSide = winners.filter(bucketOf.isin(sel.toSeq: _*))
-          val remainder = winners.filter(!bucketOf.isin(sel.toSeq: _*))
-          val (remFiles, remRows) = writeDeltaCompact(table, remainder)
-          val (resolvable, heldN) = Ingest.holdBack(table, foldSide, imageFields, -1L, 0)
-          val extra = Map("morFolds" -> 1L, "morPartialFolds" -> 1L) ++
-            (if (heldN > 0) Map("pendingHeldBack" -> heldN) else Map.empty)
-          val r = MergeApply.merge(table, resolvable, Map.empty,
-            extraMetrics = extra,
-            alsoReplacePaths = deltaPaths,
-            alsoNewDeltaFiles = remFiles)
-          FoldResult(deltaPaths.size, r.eventsApplied,
-            bucketsFolded = sel.size, eventsDeferred = remRows)
-        }
+  /** Partial fold: schedule by per-bucket backlog, fold only dense buckets,
+    * defer the rest as per-bucket compacted delta files. See class doc. */
+  private def foldPartial(table: LakeTable, snap: graft.lake.Snapshot,
+      minEventsPerBucket: Long): FoldResult = {
+    val labeled = snap.deltaFiles.filter(_.bucket >= 0)
+    val flat = snap.deltaFiles.filter(_.bucket < 0)
+
+    // ---- scheduling: labeled backlog straight off the manifest; only the
+    // flat (recent-append) files need a scan, and a NARROW one (repo+path
+    // only — column pruning keeps contents out) ----
+    val flatCounts: Map[Int, Long] =
+      if (flat.isEmpty) Map.empty
+      else table.spark.read
+        .option("mergeSchema", "true")
+        .parquet(flat.map(f => table.resolve(f.path)): _*)
+        .groupBy(table.bucketExpr(col("repo"), col("path")).as("_b"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val labeledCounts: Map[Int, Long] =
+      labeled.groupBy(_.bucket).view.mapValues(_.map(_.rows).sum).toMap
+    val backlog: Map[Int, Long] =
+      (flatCounts.keySet ++ labeledCounts.keySet).iterator
+        .map(b => b -> (flatCounts.getOrElse(b, 0L) + labeledCounts.getOrElse(b, 0L)))
+        .toMap
+
+    val sel = backlog.filter(_._2 >= minEventsPerBucket).keySet
+    if (sel.isEmpty) {
+      // nothing dense enough to be worth a base rewrite: bound read
+      // amplification by compacting the FRAGMENTED part of the delta log —
+      // flat append files plus every labeled file of a bucket that is either
+      // split across >1 file or receiving new flat rows (absorbing those
+      // singletons keeps the invariant of ≤1 compacted file per bucket, so
+      // the delta log never exceeds numBuckets + recent-append files).
+      // Labeled singletons of quiet buckets stay untouched — the whole point
+      // of the per-bucket layout — so compaction cost is O(flat + touched
+      // buckets' backlog), never O(total backlog).
+      val touched = flatCounts.keySet
+      val fragmented = labeled.groupBy(_.bucket).iterator
+        .filter { case (b, fs) => fs.size > 1 || touched.contains(b) }
+        .flatMap(_._2).toSeq
+      val toCompact = flat ++ fragmented
+      if (toCompact.size < CompactDeltasMinFiles)
+        FoldResult(0, 0L, bucketsFolded = 0, eventsDeferred = snap.deltaRows)
+      else {
+        val winners = MorRead.deltaWinnersOf(table, toCompact)
+        compactDeltaLog(table, winners, toCompact.map(_.path).toSet,
+          keptRows = labeledCounts.values.sum - fragmented.iterator.map(_.rows).sum)
+      }
+    } else {
+      // ---- file-group fold: read ONLY flat + selected buckets' files ----
+      val foldRead = flat ++ labeled.filter(f => sel.contains(f.bucket))
+      val keptRows = labeled.iterator
+        .filterNot(f => sel.contains(f.bucket)).map(_.rows).sum
+      val winners = MorRead.deltaWinnersOf(table, foldRead)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val bucketOf = table.bucketExpr(col("repo"), col("path"))
+        val inSel = bucketOf.isin(sel.toSeq: _*)
+        // remainder: winners of unselected buckets seen in the files we are
+        // about to drop (from flat appends; with honest labels, never from
+        // labeled files). Empty exactly when every backlogged bucket fell in
+        // the selection — then this IS a full fold of the files read.
+        val (remFiles, remRows) =
+          if ((backlog.keySet -- sel).isEmpty) (Seq.empty[DataFile], 0L)
+          else writeDeltaCompact(table, winners.filter(!inSel))
+        val (resolvable, heldN) =
+          Ingest.holdBack(table, winners.filter(inSel), imageFieldsOf(winners), -1L, 0)
+        val extra = Map("morFolds" -> 1L, "morPartialFolds" -> 1L) ++
+          (if (heldN > 0) Map("pendingHeldBack" -> heldN) else Map.empty)
+        val r = MergeApply.merge(table, resolvable, Map.empty,
+          extraMetrics = extra,
+          alsoReplacePaths = foldRead.map(_.path).toSet,
+          alsoNewDeltaFiles = remFiles)
+        FoldResult(foldRead.size, r.eventsApplied,
+          bucketsFolded = sel.size, eventsDeferred = remRows + keptRows)
+      } finally { winners.unpersist(blocking = false); () }
     }
   }
 
-  /** Unconditional fold — the pre-round-5 semantics. */
+  /** Unconditional fold — every winner merges into base. */
   private def foldFull(table: LakeTable, winners: DataFrame,
       imageFields: Set[String], deltaPaths: Set[String]): FoldResult = {
     // Empty-base fast selection (initial bulk load through MOR appends):
@@ -163,40 +205,45 @@ object Mor {
     FoldResult(deltaPaths.size, r.eventsApplied)
   }
 
-  /** Winners-only rewrite of the delta log (no base rewrite): N fragmented
-    * delta files become one compacted file of per-key winners. Read- and
+  /** Winners-only rewrite of (part of) the delta log (no base rewrite): N
+    * fragmented delta files become per-bucket compacted files. Read- and
     * fold-equivalent by construction — LWW resolution over {winners} equals
     * LWW over the raw events they were reduced from, and events in files
-    * appended concurrently keep competing unchanged (max over a union
-    * commutes with partial maxima). */
+    * kept out of (or appended concurrently with) the compaction keep
+    * competing unchanged (max over a union commutes with partial maxima). */
   private def compactDeltaLog(table: LakeTable, winners: DataFrame,
-      deltaPaths: Set[String]): FoldResult = {
+      deltaPaths: Set[String], keptRows: Long): FoldResult = {
     val (files, rows) = writeDeltaCompact(table, winners)
     graft.lake.LakeTable.withCommitRetry(table)(
       table.commit(deltaPaths, Seq.empty, Map.empty,
         Map("deltaCompactions" -> 1L), newDeltaFiles = files))
-    FoldResult(0, 0L, bucketsFolded = 0, eventsDeferred = rows)
+    FoldResult(0, 0L, bucketsFolded = 0, eventsDeferred = rows + keptRows)
   }
 
-  /** Write a winners DataFrame as flat delta files; returns (manifest
-    * entries, row count). Routed by the table's bucket function into at most
-    * min(numBuckets, shuffle.partitions) partitions: without the route a
-    * small remainder fragments across every shuffle partition of the winners
-    * aggregation (defeating the compaction), and WITH it each output file
-    * holds a hash-contiguous bucket subset — locality the next partial
-    * fold's scheduling scan benefits from. Orphaned by a lost commit race
-    * like any commit dir (swept by expireSnapshots past the grace window). */
+  /** Write a winners DataFrame as PER-BUCKET compacted delta files
+    * (`_bucket=N` dirs; one task per bucket group, so each bucket lands in
+    * one file) and list them with bucket labels + footer stats. The labels
+    * are what buy partial folds their file-group pruning: the next fold of
+    * bucket set S reads only `_bucket∈S` files plus recent flat appends,
+    * and the scheduling backlog for labeled files comes from the manifest.
+    * Per-bucket fan-out is affordable HERE because compaction runs on the
+    * fold cadence, not per micro-batch (appends stay flat — that fan-out
+    * was the dominant per-batch fixed cost the round-4 flat layout removed).
+    * Orphaned by a lost commit race like any commit dir (swept by
+    * expireSnapshots past the grace window). */
   private def writeDeltaCompact(table: LakeTable, winners: DataFrame): (Seq[DataFile], Long) = {
     val shufflePartitions =
       table.spark.conf.get("spark.sql.shuffle.partitions").toInt
     val n = math.max(1, math.min(table.numBuckets, shufflePartitions))
     val dir = table.newCommitDataDir()
-    winners.repartition(n, table.bucketExpr(col("repo"), col("path")))
-      .write.mode("overwrite")
+    winners
+      .withColumn("_bucket", table.bucketExpr(col("repo"), col("path")))
+      .repartition(n, col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket")
       .options(Map("compression" -> MergeApply.deltaFileCodec,
         "maxRecordsPerFile" -> table.snapshot.targetFileRows.toString))
       .parquet(dir)
-    val files = table.listWrittenFilesFlat(dir, table.snapshot.schemaId)
+    val files = table.listWrittenFiles(dir, table.snapshot.schemaId)
     (files, files.iterator.map(_.rows).sum)
   }
 }

@@ -57,11 +57,21 @@ object MorRead {
     }.foldLeft(0L)((a, b) => if (a + b < 0) Long.MaxValue else a + b)
 
   /** The deduped winning event per key across all delta files. */
-  def deltaWinners(table: LakeTable, s: Snapshot): DataFrame = {
+  def deltaWinners(table: LakeTable, s: Snapshot): DataFrame =
+    deltaWinnersOf(table, s.deltaFiles)
+
+  /** Winners over a SUBSET of delta files (partial-fold file-group pruning:
+    * `Mor.foldPartial` reads only the flat append files plus the compacted
+    * per-bucket files of the buckets it folds). LWW over a subset is exact
+    * for the keys it covers as long as the caller folds only rows routed to
+    * buckets whose every delta file is IN the subset — max over a union
+    * commutes with partial maxima, so events left in kept-out files keep
+    * competing at read/fold time unchanged. */
+  def deltaWinnersOf(table: LakeTable, files: Seq[DataFile]): DataFrame = {
     val spark = table.spark
     val events = spark.read
       .option("mergeSchema", "true") // image struct may gain fields across batches
-      .parquet(s.deltaFiles.map(f => table.resolve(f.path)): _*)
+      .parquet(files.map(f => table.resolve(f.path)): _*)
       .select(col("repo"), col("path"), col("op"), col("seq"), col("after"))
     events
       .groupBy(col("repo"), col("path"))

@@ -57,6 +57,90 @@ class MorSpec extends AnyFunSuite {
       shuffled.collect().map(_.toString).toSet)
   }
 
+  test("bucket-localized delta log: labels in the manifest, file-group pruned partial folds") {
+    import spark.implicits._
+    val tableDir = TestSpark.tmpDir("graft-mor-labels")
+    // targetFileRows above any bucket's winner count, so "one compacted file
+    // per bucket" is exact (maxRecordsPerFile otherwise splits legitimately)
+    val table = LakeTable.create(spark, tableDir, numBuckets = 8, targetFileRows = 512)
+    def rows(ids: Seq[Int], op: String, seqBase: Long) =
+      ids.toDF("id").select(
+        concat(lit("r"), col("id") % 5).as("repo"), concat(lit("f"), col("id")).as("path"),
+        lit(op).as("op"), (col("id") + seqBase).as("seq"),
+        struct(concat(lit("r"), col("id") % 5).as("repo"),
+          concat(lit("f"), col("id")).as("path"), lit("c0").as("commit"),
+          lit("scala").as("lang"), concat(lit("v"), col("id") + seqBase).as("content")).as("after"))
+    MergeApply.merge(table, rows(0 until 400, "insert", 0L), Map.empty)
+    val bucketOf: Map[Int, Int] = rows(0 until 400, "insert", 0L)
+      .select(col("seq").cast("int").as("id"),
+        table.bucketExpr(col("repo"), col("path")).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val byBucket = (0 until 400).groupBy(bucketOf)
+
+    // 1. scattered appends + a nothing-dense fold tick → per-bucket
+    //    compacted delta files whose manifest labels carry the bucket
+    (0 until Mor.CompactDeltasMinFiles).foreach { i =>
+      MergeApply.appendDelta(table,
+        rows((0 until 400).filter(_ % Mor.CompactDeltasMinFiles == i), "update", 1000L),
+        Map.empty)
+    }
+    Mor.fold(table, minEventsPerBucket = 1000L) // compaction tick
+    val labeledSnap = table.refresh()
+    assert(labeledSnap.deltaFiles.nonEmpty &&
+      labeledSnap.deltaFiles.forall(_.bucket >= 0),
+      "compacted delta files must carry bucket labels in the manifest")
+    assert(labeledSnap.deltaFiles.groupBy(_.bucket).values.forall(_.size == 1),
+      "one compacted file per bucket")
+    assert(labeledSnap.deltaRows === 400L)
+
+    // 2. dense flat appends into ONE bucket; partial fold must read only the
+    //    flat files + that bucket's labeled file — every other labeled file
+    //    survives IDENTICALLY (same path), and only that bucket's base files
+    //    are rewritten
+    val dense = byBucket.maxBy(_._2.size)._1
+    val denseKeys = byBucket(dense)
+    MergeApply.appendDelta(table, rows(denseKeys, "update", 2000L), Map.empty)
+    val before = table.refresh()
+    val flatFiles = before.deltaFiles.filter(_.bucket < 0)
+    val keptLabeled = before.deltaFiles.filter(f => f.bucket >= 0 && f.bucket != dense)
+    assert(flatFiles.nonEmpty && keptLabeled.nonEmpty)
+
+    val r = Mor.fold(table, minEventsPerBucket = (denseKeys.size + 1).toLong)
+    assert(r.bucketsFolded === 1)
+    assert(r.deltaFilesFolded === flatFiles.size + 1,
+      "fold must read only the flat appends plus the dense bucket's labeled file")
+    assert(r.eventsFolded === denseKeys.size.toLong)
+    val after = table.refresh()
+    assert(keptLabeled.map(_.path).toSet.subsetOf(after.deltaFiles.map(_.path).toSet),
+      "unselected buckets' labeled files must survive untouched")
+    val rewritten = before.files.filterNot(f => after.files.exists(_.path == f.path))
+    assert(rewritten.nonEmpty && rewritten.forall(_.bucket === dense))
+
+    // 3. scheduling off the manifest alone (no flat files): a second dense
+    //    bucket accumulated ≥ threshold in its labeled file — fold selects it
+    //    without any flat scan input
+    val dense2 = byBucket.filter(_._1 != dense).maxBy(_._2.size)._1
+    val r2 = Mor.fold(table,
+      minEventsPerBucket = byBucket(dense2).size.toLong)
+    assert(r2.bucketsFolded >= 1)
+    val after2 = table.refresh()
+    assert(!after2.deltaFiles.exists(_.bucket == dense2),
+      "manifest-scheduled fold must sweep the dense labeled bucket")
+
+    // content is exact throughout: every key reads its last update
+    val contents = table.read().select(col("path"), col("content")).collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(contents.size === 400)
+    (0 until 400).foreach { id =>
+      val want = if (denseKeys.contains(id)) s"v${id + 2000}" else s"v${id + 1000}"
+      assert(contents(s"f$id") === want, s"f$id")
+    }
+    // and a final full fold converges
+    Mor.fold(table)
+    assert(table.refresh().deltaFiles.isEmpty)
+    assert(table.read().count() === 400L)
+  }
+
   test("partial fold rewrites only dense buckets; remainder stays as one compacted delta") {
     import spark.implicits._
     val tableDir = TestSpark.tmpDir("graft-mor-partial")
