@@ -90,12 +90,13 @@ object CdcBench {
       println(f"[cdc] stream_cow[$i] ${s}%8.2f s  ${(cfg.nEvents / s).toLong} ev/s")
     }
     // interleaved A/B: final-fold-only vs in-stream partial-fold cadence
+    val raw = sys.env.get("GRAFT_MOR_RAW").exists(v => v == "1" || v == "true")
     (1 to reps).foreach { i =>
       for ((fe, fm) <- Seq((0, 0L), (foldEvery, foldMin))) {
         val c = Ingest.IngestConfig(morMode = true, morFoldEvery = fe,
-          morFoldMinEventsPerBucket = fm)
+          morFoldMinEventsPerBucket = fm, morDedupPerBatch = !raw)
         val s = runMor(c)
-        println(f"[cdc] stream_mor[$i,foldEvery=$fe,min=$fm] ${s}%8.2f s  ${(cfg.nEvents / s).toLong} ev/s")
+        println(f"[cdc] stream_mor[$i,foldEvery=$fe,min=$fm,raw=$raw] ${s}%8.2f s  ${(cfg.nEvents / s).toLong} ev/s")
       }
     }
     spark.stop()

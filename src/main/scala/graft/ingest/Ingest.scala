@@ -61,6 +61,15 @@ object Ingest {
         * compacts the rest of the delta log; 0 keeps cadence folds
         * unconditional. */
       morFoldMinEventsPerBucket: Long = 0L,
+      /** Run cadence folds ASYNC on a per-table daemon thread
+        * ([[MorFolds]]) so compaction overlaps ingest instead of blocking
+        * the micro-batch loop (Hudi async-compaction shape; safe by the
+        * same optimistic-concurrency machinery that lets a manual fold run
+        * beside a live tail). A tick whose previous fold is still running
+        * skips — backlog rides to the next tick. false = fold inline in
+        * the batch (strict backlog bound per tick, at ingest-latency
+        * cost). */
+      morFoldAsync: Boolean = true,
       /** In MOR mode, LWW-dedup each micro-batch before appending it (the
         * default). Semantically optional — read resolution and fold ALREADY
         * dedup across all delta files with the same LastWriterAgg — so this
@@ -579,11 +588,28 @@ object Ingest {
       collect_list(when(unfenced && err.isNull && col("op") === Ops.Ddl,
         struct(col("seq"), col("ddl")))).as("ddls"))
     val rowEvents = observed.filter(isLiveRow)
-    val payload =
+    val payload0 =
       if (!cfg.morDedupPerBatch)
         rowEvents.select(col("repo"), col("path"), col("op"), col("seq"), col("after"))
       else if (cfg.saltedDedup > 1) Dedup.lastWriterPerKeySalted(rowEvents, cfg.saltedDedup)
       else Dedup.lastWriterPerKey(rowEvents)
+    // Second observation ON THE WRITTEN PAYLOAD (post-dedup): the per-bucket
+    // histogram must count exactly the delta FILE contents so the snapshot's
+    // flatDeltaHist (fold scheduling, Snapshot.flatDeltaHist) stays exact.
+    // Same fused-job principle — conditional sums ride the write, no extra
+    // job. Disabled above HistMaxBuckets (Add(None) ⇒ scan fallback).
+    val histN =
+      if (snap0.numBuckets <= graft.lake.Snapshot.HistMaxBuckets) snap0.numBuckets else 0
+    val histObs = org.apache.spark.sql.Observation(s"mor-hist-${java.util.UUID.randomUUID()}")
+    val payload =
+      if (histN == 0) payload0
+      else {
+        val aggs = (0 until histN)
+          .map(i => sum(when(col("_hb") === i, 1L).otherwise(0L)).as(s"_h$i"))
+        payload0.withColumn("_hb", table.bucketExpr(col("repo"), col("path")))
+          .observe(histObs, aggs.head, aggs.tail: _*)
+          .drop("_hb")
+      }
 
     // the write job IS the stats job (observation above rides its scan);
     // an empty batch writes no files and the commit is fence-only
@@ -651,6 +677,19 @@ object Ingest {
     }
     // delta files carry no bucket layout, so a racing rebucket cannot
     // invalidate them — plain optimistic retry suffices for the data commit
+    val batchHist: Option[Map[Int, Long]] =
+      if (histN == 0 || newDeltas.isEmpty) None
+      else try {
+        val hm = MergeApply.observedMetrics(histObs)
+        if (hm.isEmpty) None // AQE empty-relation hazard: poison, scan fallback
+        else Some((0 until histN).iterator.map { i =>
+          i -> (hm.get(s"_h$i") match {
+            case Some(v: Long) => v
+            case Some(v: java.lang.Long) => v.longValue()
+            case _ => 0L
+          })
+        }.filter(_._2 > 0L).toMap)
+      } catch { case _: java.util.concurrent.TimeoutException => None }
     timed(s"mor-$batchId-commit")(graft.lake.LakeTable.withCommitRetry(table)(table.commit(
       Set.empty, Seq.empty, fenceDelta,
       Map("eventsApplied" -> rowCount,
@@ -659,7 +698,10 @@ object Ingest {
         "deltaFilesWritten" -> newDeltas.size.toLong,
         "deadLetters" -> dlCount, "eventsSeen" -> total,
         "batches" -> 1L),
-      batchId, maxSeq = metricL("maxSeq"), newDeltaFiles = newDeltas)))
+      batchId, maxSeq = metricL("maxSeq"), newDeltaFiles = newDeltas,
+      flatHistOp =
+        if (newDeltas.isEmpty) graft.lake.FlatHistOp.Keep
+        else graft.lake.FlatHistOp.Add(batchHist))))
 
     val bm = BatchMetrics(batchId, total, dlCount,
       math.max(unfencedN - dlCount - ddls.length - rowCount, 0),

@@ -1,6 +1,6 @@
 package graft.ingest
 
-import graft.lake.{CommitConflictException, DataFile, LakeTable, Snapshot, TableSchema}
+import graft.lake.{CommitConflictException, DataFile, FlatHistOp, LakeTable, Snapshot, TableSchema}
 import graft.model.Ops
 import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
@@ -312,7 +312,10 @@ object MergeApply {
         * drops every old delta file and re-adds the unfolded remainder as a
         * compacted delta — one atomic swap, no window where deferred events
         * are unreadable). */
-      alsoNewDeltaFiles: Seq[DataFile] = Seq.empty): MergeResult = {
+      alsoNewDeltaFiles: Seq[DataFile] = Seq.empty,
+      /** scheduling-histogram update for this commit (folds pass Sub of the
+        * flat counts they consumed). */
+      flatHistOp: FlatHistOp = FlatHistOp.Keep): MergeResult = {
     // Optimistic-concurrency retry (Iceberg semantics): losing a snapshot
     // version race to a concurrent committer (compaction, rebucket, another
     // writer) re-runs the merge against the REFRESHED snapshot — the passed-in
@@ -323,7 +326,7 @@ object MergeApply {
     var sel = selection
     while (true) {
       try return mergeOnce(table, delta, fenceDelta, batchId, salt, extraMetrics, sel,
-        alsoReplacePaths, alsoNewDeltaFiles)
+        alsoReplacePaths, alsoNewDeltaFiles, flatHistOp)
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -410,16 +413,30 @@ object MergeApply {
     // dedup-output partitioning (AQE has already coalesced small batches to
     // a handful of partitions ⇒ a handful of files).
     val obs = Observation(s"mor-append-${java.util.UUID.randomUUID()}")
+    // Per-bucket histogram rides the SAME observation pass (codegen'd
+    // conditional sums over a precomputed bucket column, no extra job/
+    // shuffle) and lands in the snapshot (Snapshot.flatDeltaHist) so fold
+    // scheduling never scans the flat backlog. Disabled above HistMaxBuckets.
+    val histN = if (snap.numBuckets <= Snapshot.HistMaxBuckets) snap.numBuckets else 0
+    val histAggs: Seq[Column] = (0 until histN)
+      .map(i => sum(when(col("_hb") === i, 1L).otherwise(0L)).as(s"_h$i"))
+    val obsAggs: Seq[Column] = Seq(
+      count(lit(1)).as("appended"),
+      sum(when(col("op") === Ops.Delete, 1L).otherwise(0L)).as("deletes"),
+      max(col("seq")).as("maxSeq")) ++ histAggs
     val rows = delta
-      .observe(obs,
-        count(lit(1)).as("appended"),
-        sum(when(col("op") === Ops.Delete, 1L).otherwise(0L)).as("deletes"),
-        max(col("seq")).as("maxSeq"))
+      .withColumn("_hb", table.bucketExpr(col("repo"), col("path")))
+      .observe(obs, obsAggs.head, obsAggs.tail: _*)
+      .drop("_hb")
     rows.write.mode("overwrite") // commitDir is fresh; overwrite = retry-safe
       .options(Map("compression" -> deltaFileCodec,
         "maxRecordsPerFile" -> snap.targetFileRows.toString))
       .parquet(commitDir)
     val appended = readMetric(obs, "appended")
+    val batchHist: Option[Map[Int, Long]] =
+      if (histN == 0) None
+      else Some((0 until histN).iterator.map(i => i -> readMetric(obs, s"_h$i"))
+        .filter(_._2 > 0L).toMap)
     val newDeltas = table.listWrittenFilesFlat(commitDir, sch.schemaId)
     graft.lake.LakeTable.withCommitRetry(table) {
       if (table.snapshot.numBuckets != snap.numBuckets)
@@ -428,7 +445,8 @@ object MergeApply {
         Map("deltaEventsAppended" -> appended,
           "deltaFilesWritten" -> newDeltas.size.toLong,
           "batches" -> 1L) ++ extraMetrics,
-        batchId, maxSeq = readMetric(obs, "maxSeq"), newDeltaFiles = newDeltas)
+        batchId, maxSeq = readMetric(obs, "maxSeq"), newDeltaFiles = newDeltas,
+        flatHistOp = FlatHistOp.Add(batchHist))
     }
     MergeResult(
       eventsApplied = appended,
@@ -447,7 +465,8 @@ object MergeApply {
       extraMetrics: => Map[String, Long],
       selection: Option[FileSelection],
       alsoReplacePaths: Set[String] = Set.empty,
-      alsoNewDeltaFiles: Seq[DataFile] = Seq.empty): MergeResult = {
+      alsoNewDeltaFiles: Seq[DataFile] = Seq.empty,
+      flatHistOp: FlatHistOp = FlatHistOp.Keep): MergeResult = {
     val spark = table.spark
     val snap = table.snapshot
     val sel = selection.getOrElse(timed("select-files")(selectFiles(table, delta)))
@@ -457,7 +476,8 @@ object MergeApply {
       // still swap the caller's delta files: a fold whose fold-side emptied
       // out after hold-back must not leave the dropped paths live).
       table.commit(alsoReplacePaths, Seq.empty, fenceDelta,
-        extraMetrics + ("batches" -> 1L), batchId, newDeltaFiles = alsoNewDeltaFiles)
+        extraMetrics + ("batches" -> 1L), batchId, newDeltaFiles = alsoNewDeltaFiles,
+        flatHistOp = flatHistOp)
       return MergeResult(0, 0, 0, 0, 0, 0, 0, 0)
     }
 
@@ -686,14 +706,16 @@ object MergeApply {
     def commitFinal(): Unit =
       try {
         table.commit(replaced, newFiles, fenceDelta, metricsDelta, batchId,
-          maxSeq = metric(obs, "maxSeq"), newDeltaFiles = alsoNewDeltaFiles)
+          maxSeq = metric(obs, "maxSeq"), newDeltaFiles = alsoNewDeltaFiles,
+          flatHistOp = flatHistOp)
         ()
       } catch {
         case e: CommitConflictException =>
           val live = table.refresh().files.iterator.map(_.path).toSet
           if (sel.files.forall(f => live.contains(f.path)))
             table.commit(replaced, newFiles, fenceDelta, metricsDelta,
-              batchId, maxSeq = metric(obs, "maxSeq"), newDeltaFiles = alsoNewDeltaFiles)
+              batchId, maxSeq = metric(obs, "maxSeq"), newDeltaFiles = alsoNewDeltaFiles,
+              flatHistOp = flatHistOp)
           else throw e
       }
     commitFinal()

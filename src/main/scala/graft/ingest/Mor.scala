@@ -1,6 +1,6 @@
 package graft.ingest
 
-import graft.lake.{DataFile, LakeTable, MorRead}
+import graft.lake.{DataFile, FlatHistOp, LakeTable, MorRead}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -83,7 +83,8 @@ object Mor {
       val winners = MorRead.deltaWinners(table, snap)
         .persist(StorageLevel.MEMORY_AND_DISK)
       try foldFull(table, winners, imageFieldsOf(winners),
-        snap.deltaFiles.map(_.path).toSet)
+        snap.deltaFiles.map(_.path).toSet,
+        FlatHistOp.Sub(snap.flatDeltaHist.getOrElse(Map.empty)))
       finally { winners.unpersist(blocking = false); () }
     } else foldPartial(table, snap, minEventsPerBucket)
   }
@@ -101,17 +102,20 @@ object Mor {
     val labeled = snap.deltaFiles.filter(_.bucket >= 0)
     val flat = snap.deltaFiles.filter(_.bucket < 0)
 
-    // ---- scheduling: labeled backlog straight off the manifest; only the
-    // flat (recent-append) files need a scan, and a NARROW one (repo+path
-    // only — column pruning keeps contents out) ----
+    // ---- scheduling: ZERO-scan when metadata suffices — labeled backlog
+    // off the manifest (bucket, rows), flat backlog off the snapshot's
+    // transactional histogram (Snapshot.flatDeltaHist, maintained by the
+    // append job's observation pass). Histogram unknown (legacy metadata or
+    // numBuckets > HistMaxBuckets) ⇒ ONE narrow scan of the flat files
+    // (repo+path only — column pruning keeps contents out). ----
     val flatCounts: Map[Int, Long] =
       if (flat.isEmpty) Map.empty
-      else table.spark.read
+      else snap.flatDeltaHist.getOrElse(table.spark.read
         .option("mergeSchema", "true")
         .parquet(flat.map(f => table.resolve(f.path)): _*)
         .groupBy(table.bucketExpr(col("repo"), col("path")).as("_b"))
         .agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
     val labeledCounts: Map[Int, Long] =
       labeled.groupBy(_.bucket).view.mapValues(_.map(_.rows).sum).toMap
     val backlog: Map[Int, Long] =
@@ -140,7 +144,8 @@ object Mor {
       else {
         val winners = MorRead.deltaWinnersOf(table, toCompact)
         compactDeltaLog(table, winners, toCompact.map(_.path).toSet,
-          keptRows = labeledCounts.values.sum - fragmented.iterator.map(_.rows).sum)
+          keptRows = labeledCounts.values.sum - fragmented.iterator.map(_.rows).sum,
+          FlatHistOp.Sub(flatCounts))
       }
     } else {
       // ---- file-group fold: read ONLY flat + selected buckets' files ----
@@ -166,7 +171,8 @@ object Mor {
         val r = MergeApply.merge(table, resolvable, Map.empty,
           extraMetrics = extra,
           alsoReplacePaths = foldRead.map(_.path).toSet,
-          alsoNewDeltaFiles = remFiles)
+          alsoNewDeltaFiles = remFiles,
+          flatHistOp = FlatHistOp.Sub(flatCounts))
         FoldResult(foldRead.size, r.eventsApplied,
           bucketsFolded = sel.size, eventsDeferred = remRows + keptRows)
       } finally { winners.unpersist(blocking = false); () }
@@ -175,7 +181,8 @@ object Mor {
 
   /** Unconditional fold — every winner merges into base. */
   private def foldFull(table: LakeTable, winners: DataFrame,
-      imageFields: Set[String], deltaPaths: Set[String]): FoldResult = {
+      imageFields: Set[String], deltaPaths: Set[String],
+      flatHistOp: FlatHistOp): FoldResult = {
     // Empty-base fast selection (initial bulk load through MOR appends):
     // there are no base files to select against, so the selection scan would
     // only re-derive stats the delta manifests already carry — rows (an
@@ -195,13 +202,14 @@ object Mor {
       // every winner held back (schema fully behind): still drop the folded
       // delta files atomically — their rows are durably in _pending now
       graft.lake.LakeTable.withCommitRetry(table)(
-        table.commit(deltaPaths, Seq.empty, Map.empty, extra))
+        table.commit(deltaPaths, Seq.empty, Map.empty, extra, flatHistOp = flatHistOp))
       return FoldResult(deltaPaths.size, 0L)
     }
     val r = MergeApply.merge(table, resolvable, Map.empty,
       extraMetrics = extra,
       selection = emptyBaseSel,
-      alsoReplacePaths = deltaPaths)
+      alsoReplacePaths = deltaPaths,
+      flatHistOp = flatHistOp)
     FoldResult(deltaPaths.size, r.eventsApplied)
   }
 
@@ -212,11 +220,13 @@ object Mor {
     * kept out of (or appended concurrently with) the compaction keep
     * competing unchanged (max over a union commutes with partial maxima). */
   private def compactDeltaLog(table: LakeTable, winners: DataFrame,
-      deltaPaths: Set[String], keptRows: Long): FoldResult = {
+      deltaPaths: Set[String], keptRows: Long,
+      flatHistOp: FlatHistOp): FoldResult = {
     val (files, rows) = writeDeltaCompact(table, winners)
     graft.lake.LakeTable.withCommitRetry(table)(
       table.commit(deltaPaths, Seq.empty, Map.empty,
-        Map("deltaCompactions" -> 1L), newDeltaFiles = files))
+        Map("deltaCompactions" -> 1L), newDeltaFiles = files,
+        flatHistOp = flatHistOp))
     FoldResult(0, 0L, bucketsFolded = 0, eventsDeferred = rows + keptRows)
   }
 
@@ -245,5 +255,57 @@ object Mor {
       .parquet(dir)
     val files = table.listWrittenFiles(dir, table.snapshot.schemaId)
     (files, files.iterator.map(_.rows).sum)
+  }
+}
+
+/** ASYNC cadence folds: compaction must never block ingest (Hudi async-
+  * compaction shape) — a micro-batch SUBMITS its cadence fold and returns to
+  * consuming; the fold runs on a per-table daemon thread against its OWN
+  * table handle (the commit hard-link CAS + optimistic merge retry make a
+  * concurrent fold/append race safe by construction, and
+  * [[graft.lake.FlatHistOp]]'s relative Add/Sub keeps the scheduling
+  * histogram exact across the race). A tick that finds the previous fold
+  * still running SKIPS — the backlog simply rides to the next tick, so fold
+  * pressure self-regulates instead of back-pressuring the source.
+  *
+  * Failure contract: an async fold failure is rethrown on the NEXT submit
+  * (failing the stream at a batch boundary) or at [[drain]] (stream end) —
+  * never swallowed. */
+object MorFolds {
+  private final class Worker {
+    val busy = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var thread: Thread = _
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+  }
+  private val workers = new java.util.concurrent.ConcurrentHashMap[String, Worker]()
+
+  /** Submit a cadence fold; returns false when skipped (previous fold still
+    * in flight). Rethrows a previous async failure instead of submitting. */
+  def submit(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      minEventsPerBucket: Long): Boolean = {
+    val w = workers.computeIfAbsent(tableDir, _ => new Worker)
+    val prior = w.failure.getAndSet(null)
+    if (prior != null) throw prior
+    if (!w.busy.compareAndSet(false, true)) return false
+    val t = new Thread(() => {
+      try { Mor.fold(LakeTable.load(spark, tableDir), minEventsPerBucket); () }
+      catch { case e: Throwable => w.failure.set(e) }
+      finally w.busy.set(false)
+    }, s"graft-mor-fold-${java.nio.file.Paths.get(tableDir).getFileName}")
+    t.setDaemon(true)
+    w.thread = t
+    t.start()
+    true
+  }
+
+  /** Wait for any in-flight fold of `tableDir`; rethrows its failure.
+    * Callers run this at stream end, BEFORE any final convergence fold. */
+  def drain(tableDir: String): Unit = {
+    val w = workers.get(tableDir)
+    if (w == null) return
+    val t = w.thread
+    if (t != null) t.join()
+    val f = w.failure.getAndSet(null)
+    if (f != null) throw f
   }
 }

@@ -134,7 +134,10 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
         * MOR mode); `replacedPaths` drops from the delta list too (a
         * compaction fold replaces base files and removes the folded deltas
         * in one atomic commit). */
-      newDeltaFiles: Seq[DataFile] = Seq.empty): Snapshot = {
+      newDeltaFiles: Seq[DataFile] = Seq.empty,
+      /** how this commit updates the flat-delta scheduling histogram
+        * ([[Snapshot.flatDeltaHist]]); appends Add, folds Sub. */
+      flatHistOp: FlatHistOp = FlatHistOp.Keep): Snapshot = {
     val cur = snap
     newNumBuckets.foreach { n =>
       require(n > 0, "bucket count must be positive")
@@ -169,6 +172,37 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
     val (deltaRefs, deltaEntries) = evolveManifests(
       Manifest.DeltaKind, cur.deltaFiles, cur.manifests.filter(_.kind == Manifest.DeltaKind),
       replacedPaths, newDeltaFiles)
+    // ---- flat-delta scheduling histogram (Snapshot.flatDeltaHist) ----
+    // Manifest-ref stats (minBucket < 0 ⇔ ref holds flat files) keep these
+    // checks hydration-free on the fence-only hot path.
+    def histMerge(a: Map[Int, Long], b: Map[Int, Long], sign: Long): Map[Int, Long] =
+      (a.keySet ++ b.keySet).iterator
+        .map(k => k -> (a.getOrElse(k, 0L) + sign * b.getOrElse(k, 0L)))
+        .filter(_._2 > 0L).toMap
+    val flatRemain =
+      if (deltaRefs.nonEmpty) deltaRefs.exists(_.minBucket < 0)
+      else deltaEntries.nonEmpty && deltaEntries.exists(_.bucket < 0)
+    // Keep is only honest when the commit adds no flat delta files; a caller
+    // that appends flat deltas without accounting for them must poison the
+    // histogram to unknown (scan fallback), never leave a stale exact value.
+    val histOp =
+      if (flatHistOp == FlatHistOp.Keep && newDeltaFiles.exists(_.bucket < 0))
+        FlatHistOp.Add(None)
+      else flatHistOp
+    val nextFlatHist: Option[Map[Int, Long]] =
+      if (!flatRemain) Some(Map.empty) // exact by construction: nothing flat left
+      else histOp match {
+        case FlatHistOp.Keep => cur.flatDeltaHist
+        case FlatHistOp.Add(None) => None
+        case FlatHistOp.Add(Some(h)) =>
+          val curHasFlat =
+            if (cur.manifests.nonEmpty)
+              cur.manifests.exists(r => r.kind == Manifest.DeltaKind && r.minBucket < 0)
+            else cur.deltaFiles.exists(_.bucket < 0)
+          (if (curHasFlat) cur.flatDeltaHist else Some(Map.empty[Int, Long]))
+            .map(histMerge(_, h, 1L))
+        case FlatHistOp.Sub(h) => cur.flatDeltaHist.map(histMerge(_, h, -1L))
+      }
     val next = Snapshot(
       version = cur.version + 1,
       parentVersion = cur.version,
@@ -184,7 +218,8 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
       tsMillis = System.currentTimeMillis(),
       ddlSeq = math.max(ddlSeq, cur.ddlSeq),
       maxSeq = math.max(maxSeq, cur.maxSeq),
-      targetFileRows = cur.targetFileRows)
+      targetFileRows = cur.targetFileRows,
+      flatDeltaHist = nextFlatHist)
     LakeTable.writeSnapshotAtomic(dir, next)
     snap = next
     next

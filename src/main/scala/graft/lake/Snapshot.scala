@@ -78,7 +78,19 @@ final case class Snapshot(
       * concatenation of base / delta manifests' entries in pointer order.
       * Empty ⇒ legacy inline snapshot (pre-segmentation tables, synthetic
       * test snapshots, the empty v0). */
-    manifests: Seq[ManifestRef] = Seq.empty) {
+    manifests: Seq[ManifestRef] = Seq.empty,
+    /** Per-bucket event histogram of the FLAT (unlabeled, bucket = -1) delta
+      * files — maintained transactionally so partial-fold SCHEDULING reads
+      * the whole backlog off metadata, zero scans: appends ADD their batch
+      * histogram (computed on the append job's existing Observation pass),
+      * folds SUBTRACT the flat counts they consumed, and any commit that
+      * leaves no flat delta file self-heals to Some(empty). None = unknown
+      * (legacy metadata, or numBuckets above [[Snapshot.HistMaxBuckets]]) —
+      * schedulers fall back to a narrow scan. Labeled delta files need no
+      * histogram: their manifest entries carry (bucket, rows) directly.
+      * Scheduling-only: an absent histogram can never lose data, folds
+      * re-derive winners from the files themselves. */
+    flatDeltaHist: Option[Map[Int, Long]] = None) {
 
   def schema: TableSchema = schemas.find(_.schemaId == schemaId).get
   def schemaById(id: Int): TableSchema = schemas.find(_.schemaId == id).get
@@ -113,7 +125,10 @@ final case class Snapshot(
       "ddlSeq" -> ddlSeq.toString,
       "maxSeq" -> maxSeq.toString,
       "targetFileRows" -> targetFileRows.toString,
-      "tsMillis" -> tsMillis.toString) ++ fileFields ++ Seq(
+      "tsMillis" -> tsMillis.toString) ++
+      flatDeltaHist.toSeq.map(h => "flatHist" -> Json.quote(
+        h.toSeq.sorted.map { case (b, n) => s"$b:$n" }.mkString(","))) ++
+      fileFields ++ Seq(
       "fence" -> Json.obj(fence.toSeq.sortBy(_._1).map { case (p, o) => p.toString -> o.toString }: _*),
       "metrics" -> Json.obj(metrics.toSeq.sorted.map { case (k, v) => k -> v.toString }: _*),
       "schemas" -> Json.arrOf(schemas.map(_.toJson))): _*)
@@ -185,6 +200,37 @@ object Snapshot {
       tsMillis = Json.long(n, "tsMillis"),
       ddlSeq = if (n.has("ddlSeq")) Json.long(n, "ddlSeq") else -1L,
       maxSeq = if (n.has("maxSeq")) Json.long(n, "maxSeq") else -1L,
-      targetFileRows = if (n.has("targetFileRows")) Json.long(n, "targetFileRows") else 1L << 20)
+      targetFileRows = if (n.has("targetFileRows")) Json.long(n, "targetFileRows") else 1L << 20,
+      flatDeltaHist =
+        if (!n.has("flatHist")) None
+        else Some(Json.str(n, "flatHist").split(',').iterator.filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf(':')
+          kv.substring(0, i).toInt -> kv.substring(i + 1).toLong
+        }.toMap))
   }
+
+  /** Ceiling on per-append histogram width: above this bucket count the
+    * observe-pass conditional sums stop being cheap and the snapshot field
+    * stops being small, so the histogram is disabled (None) and schedulers
+    * scan instead. */
+  val HistMaxBuckets = 256
+}
+
+/** How a commit updates [[Snapshot.flatDeltaHist]]. Add/Sub are RELATIVE
+  * (merged against the snapshot the commit finally lands on), so they stay
+  * correct across optimistic-concurrency retries and append/fold races:
+  * a fold subtracts exactly what it read, never zeroing counts a racing
+  * append added after the fold's snapshot. */
+sealed trait FlatHistOp
+object FlatHistOp {
+  /** Commit does not touch flat delta files. */
+  case object Keep extends FlatHistOp
+  /** Commit appends flat delta files carrying this per-bucket event
+    * histogram; None = histogram unavailable for this batch (bucket count
+    * over [[Snapshot.HistMaxBuckets]]) — poisons the running total to
+    * unknown until the next full sweep of flat files heals it. */
+  final case class Add(hist: Option[Map[Int, Long]]) extends FlatHistOp
+  /** Commit consumed flat delta files whose histogram at read time was
+    * `hist` (every fold/compaction reads ALL flat files of ITS snapshot). */
+  final case class Sub(hist: Map[Int, Long]) extends FlatHistOp
 }

@@ -79,10 +79,15 @@ object StreamIngest {
           throw new StreamIngest.GracefulPauseException
         Ingest.applyBatch(table, batch, batchId, cfg)
         // MOR compaction cadence: fold is idempotent and fenced like any
-        // commit, so a crash-retry of this batch at worst re-folds a no-op
+        // commit, so a crash-retry of this batch at worst re-folds a no-op.
+        // Async by default — compaction overlaps the next micro-batches
+        // instead of stalling the trigger loop (failures surface at the
+        // next tick or at drain).
         if (cfg.morMode && cfg.morFoldEvery > 0 && batchId > 0 &&
             batchId % cfg.morFoldEvery == 0) {
-          graft.ingest.Mor.fold(table, cfg.morFoldMinEventsPerBucket)
+          if (cfg.morFoldAsync)
+            graft.ingest.MorFolds.submit(table.spark, tableDir, cfg.morFoldMinEventsPerBucket)
+          else graft.ingest.Mor.fold(table, cfg.morFoldMinEventsPerBucket)
           ()
         }
         ()
@@ -102,8 +107,12 @@ object StreamIngest {
     spark.streams.addListener(listener)
     val q = start(spark, logDir, tableDir, checkpointDir, maxFilesPerTrigger,
       availableNow = true, cfg)
-    try q.awaitTermination()
-    finally spark.streams.removeListener(listener)
+    try {
+      q.awaitTermination()
+      // surface (and wait out) any in-flight async cadence fold: callers
+      // observe a quiesced table when this returns
+      graft.ingest.MorFolds.drain(tableDir)
+    } finally spark.streams.removeListener(listener)
   }
 
   /** One named rule of a multi-rule pipeline: its own filter chain / salt /
@@ -265,7 +274,10 @@ object StreamIngest {
             } else Ingest.applyBatch(table, shared, batchId, rule.cfg)
             if (rule.cfg.morMode && rule.cfg.morFoldEvery > 0 && batchId > 0 &&
                 batchId % rule.cfg.morFoldEvery == 0) {
-              graft.ingest.Mor.fold(table, rule.cfg.morFoldMinEventsPerBucket)
+              if (rule.cfg.morFoldAsync)
+                graft.ingest.MorFolds.submit(spark, rule.tableDir,
+                  rule.cfg.morFoldMinEventsPerBucket)
+              else graft.ingest.Mor.fold(table, rule.cfg.morFoldMinEventsPerBucket)
               ()
             }
           } finally {
@@ -311,6 +323,7 @@ object StreamIngest {
       java.nio.file.Files.deleteIfExists(stopM)
       ()
     }
+    rules.foreach(r => graft.ingest.MorFolds.drain(r.tableDir))
   }
 
   /** Default control dir for a [[tailRules]] pipeline (beside the Spark
@@ -478,5 +491,6 @@ object StreamIngest {
       java.nio.file.Files.deleteIfExists(pause)
       java.nio.file.Files.deleteIfExists(state)
     }
+    graft.ingest.MorFolds.drain(tableDir)
   }
 }

@@ -57,6 +57,83 @@ class MorSpec extends AnyFunSuite {
       shuffled.collect().map(_.toString).toSet)
   }
 
+  test("flat-delta scheduling histogram: exact on the snapshot, subtracted by folds, scan fallback above the cap") {
+    import spark.implicits._
+    def rows(ids: Seq[Int], op: String, seqBase: Long) =
+      ids.toDF("id").select(
+        concat(lit("r"), col("id") % 7).as("repo"), concat(lit("f"), col("id")).as("path"),
+        lit(op).as("op"), (col("id") + seqBase).as("seq"),
+        struct(concat(lit("r"), col("id") % 7).as("repo"),
+          concat(lit("f"), col("id")).as("path"), lit("c0").as("commit"),
+          lit("scala").as("lang"), concat(lit("v"), col("id") + seqBase).as("content")).as("after"))
+    def recount(table: LakeTable): Map[Int, Long] = {
+      val flat = table.refresh().deltaFiles.filter(_.bucket < 0)
+      if (flat.isEmpty) Map.empty
+      else spark.read.option("mergeSchema", "true")
+        .parquet(flat.map(f => table.resolve(f.path)): _*)
+        .groupBy(table.bucketExpr(col("repo"), col("path")).as("_b"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+
+    val table = LakeTable.create(spark, TestSpark.tmpDir("graft-mor-hist"),
+      numBuckets = 8, targetFileRows = 512)
+    MergeApply.merge(table, rows(0 until 200, "insert", 0L), Map.empty)
+    assert(table.refresh().flatDeltaHist === Some(Map.empty),
+      "no flat deltas ⇒ exact empty histogram")
+    // two appends with overlapping buckets (raw events, several per key)
+    MergeApply.appendDelta(table, rows(0 until 120, "update", 1000L), Map.empty)
+    MergeApply.appendDelta(table, rows(60 until 200, "update", 2000L), Map.empty)
+    val h = table.refresh().flatDeltaHist
+    assert(h.isDefined && h.get.values.sum === 260L)
+    assert(h.get === recount(table), "histogram must equal an actual scan")
+
+    // a partial fold consumes every flat file: histogram returns to empty
+    // even though deferred winners remain (they are LABELED, not flat)
+    val r = Mor.fold(table, minEventsPerBucket = 40L)
+    assert(r.bucketsFolded >= 1)
+    val afterFold = table.refresh()
+    assert(afterFold.flatDeltaHist === Some(Map.empty))
+    assert(recount(table) === Map.empty)
+    // fresh appends re-accumulate from zero
+    MergeApply.appendDelta(table, rows(0 until 30, "update", 3000L), Map.empty)
+    val h2 = table.refresh().flatDeltaHist
+    assert(h2.isDefined && h2.get.values.sum === 30L && h2.get === recount(table))
+    Mor.fold(table)
+    assert(table.refresh().flatDeltaHist === Some(Map.empty))
+    assert(table.read().count() === 200L)
+
+    // above the histogram cap: appends record UNKNOWN (None) and the
+    // partial-fold scheduler's scan fallback still folds correctly
+    val big = LakeTable.create(spark, TestSpark.tmpDir("graft-mor-hist-big"),
+      numBuckets = graft.lake.Snapshot.HistMaxBuckets + 1, targetFileRows = 512)
+    MergeApply.merge(big, rows(0 until 100, "insert", 0L), Map.empty)
+    MergeApply.appendDelta(big, rows(0 until 100, "update", 1000L), Map.empty)
+    assert(big.refresh().flatDeltaHist === None, "over the cap ⇒ unknown")
+    val rb = Mor.fold(big, minEventsPerBucket = 1L)
+    assert(rb.eventsFolded > 0L)
+    assert(big.refresh().flatDeltaHist === Some(Map.empty),
+      "a full flat sweep heals the histogram to exact-empty")
+    val contents = big.read().select(col("path"), col("content")).collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    (0 until 100).foreach(id => assert(contents(s"f$id") === s"v${id + 1000}"))
+
+    // the STREAMING path (fused applyBatchMor, its own observation) must
+    // keep the histogram exact too — the round-5 CLI drive caught a stale
+    // Some(empty) here when only the manual appendDelta path carried it
+    val logDir = TestSpark.tmpDir("graft-mor-hist-log")
+    ChangeLog.write(ChangelogGen.events(spark, cfg), logDir, segmentsPerPartition = 2)
+    val sDir = TestSpark.tmpDir("graft-mor-hist-stream")
+    LakeTable.create(spark, sDir, numBuckets = 8)
+    StreamIngest.runAvailable(spark, logDir, sDir, TestSpark.tmpDir("graft-mor-hist-ck"),
+      maxFilesPerTrigger = 4, cfg = Ingest.IngestConfig(morMode = true))
+    val st = LakeTable.load(spark, sDir)
+    val sh = st.snapshot.flatDeltaHist
+    assert(sh.isDefined, "streaming appends must carry the histogram")
+    assert(sh.get === recount(st), "streaming histogram must equal an actual scan")
+    assert(sh.get.values.sum === st.snapshot.deltaRows)
+  }
+
   test("bucket-localized delta log: labels in the manifest, file-group pruned partial folds") {
     import spark.implicits._
     val tableDir = TestSpark.tmpDir("graft-mor-labels")
