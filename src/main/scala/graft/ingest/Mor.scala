@@ -282,16 +282,23 @@ object MorFolds {
   /** Submit a cadence fold; returns false when skipped (previous fold still
     * in flight). Rethrows a previous async failure instead of submitting. */
   def submit(spark: org.apache.spark.sql.SparkSession, tableDir: String,
-      minEventsPerBucket: Long): Boolean = {
-    val w = workers.computeIfAbsent(tableDir, _ => new Worker)
+      minEventsPerBucket: Long): Boolean =
+    submitTask(tableDir) {
+      Mor.fold(LakeTable.load(spark, tableDir), minEventsPerBucket); ()
+    }
+
+  /** Worker mechanics behind [[submit]], keyed by table dir (factored out so
+    * the skip/failure contract is unit-testable without a Spark fold). */
+  private[graft] def submitTask(key: String)(task: => Unit): Boolean = {
+    val w = workers.computeIfAbsent(key, _ => new Worker)
     val prior = w.failure.getAndSet(null)
     if (prior != null) throw prior
     if (!w.busy.compareAndSet(false, true)) return false
     val t = new Thread(() => {
-      try { Mor.fold(LakeTable.load(spark, tableDir), minEventsPerBucket); () }
+      try task
       catch { case e: Throwable => w.failure.set(e) }
       finally w.busy.set(false)
-    }, s"graft-mor-fold-${java.nio.file.Paths.get(tableDir).getFileName}")
+    }, s"graft-mor-fold-${java.nio.file.Paths.get(key).getFileName}")
     t.setDaemon(true)
     w.thread = t
     t.start()

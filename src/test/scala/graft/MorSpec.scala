@@ -510,4 +510,41 @@ class MorSpec extends AnyFunSuite {
     assert(folded.read().collect().map(_.getString(0)).toSeq === Seq("r9"),
       "folded tombstone must absorb stale COW replays too")
   }
+
+  test("async fold worker: in-flight submits skip; failures rethrow at drain and at the next submit") {
+    import graft.ingest.MorFolds
+
+    // skip-while-busy: a latch holds the first task in flight
+    val k1 = s"/tmp/morfolds-busy-${System.nanoTime()}"
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    assert(MorFolds.submitTask(k1) { latch.await() }, "first submit must run")
+    assert(!MorFolds.submitTask(k1) { () },
+      "a tick that finds the previous fold in flight must SKIP, not queue")
+    latch.countDown()
+    MorFolds.drain(k1) // clean completion: no rethrow
+
+    // failure surfaces at drain (stream end)
+    val k2 = s"/tmp/morfolds-drain-${System.nanoTime()}"
+    assert(MorFolds.submitTask(k2) { sys.error("fold boom") })
+    val atDrain = intercept[RuntimeException](MorFolds.drain(k2))
+    assert(atDrain.getMessage === "fold boom")
+    MorFolds.drain(k2) // consumed exactly once: second drain is clean
+
+    // failure surfaces at the NEXT submit (fails the stream at a batch
+    // boundary). failure.set happens-before busy=false, so once a probe
+    // submit stops reporting busy it must observe the failure.
+    val k3 = s"/tmp/morfolds-next-${System.nanoTime()}"
+    assert(MorFolds.submitTask(k3) { sys.error("next boom") })
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var thrown: Option[Throwable] = None
+    while (thrown.isEmpty && System.nanoTime() < deadline) {
+      try {
+        if (MorFolds.submitTask(k3)(()))
+          fail("probe submit ran: failure was lost")
+        Thread.sleep(5)
+      } catch { case e: RuntimeException => thrown = Some(e) }
+    }
+    assert(thrown.map(_.getMessage).contains("next boom"))
+    MorFolds.drain(k3) // the probe never started a task; drain stays clean
+  }
 }
