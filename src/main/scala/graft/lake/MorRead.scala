@@ -81,7 +81,38 @@ object MorRead {
         col("_w.op").as("op"), col("_w.seq").as("seq"), col("_w.after").as("after"))
   }
 
-  /** Current rows of a MOR snapshot: base resolved against deduped deltas. */
+  /** The buckets that can hold delta events, from METADATA only: labeled
+    * delta files carry their bucket in the manifest; flat append files are
+    * covered by the transactional per-bucket histogram
+    * ([[Snapshot.flatDeltaHist]] — exact when present, see MorSpec's
+    * exact-vs-recount case). None = unknown (legacy metadata or an over-cap
+    * histogram) — callers must not prune. An empty set alongside live delta
+    * rows is a metadata inconsistency and also answers None (no pruning —
+    * correctness never rides a suspect histogram). */
+  def touchedBuckets(s: Snapshot): Option[Set[Int]] = {
+    val labeled = s.deltaFiles.iterator.filter(_.bucket >= 0).map(_.bucket).toSet
+    val hasFlat = s.deltaFiles.exists(_.bucket < 0)
+    val t = if (!hasFlat) Some(labeled)
+            else s.flatDeltaHist.map(h => labeled ++ h.keySet)
+    t.filter(tb => tb.nonEmpty || s.deltaRows == 0L)
+  }
+
+  /** Current rows of a MOR snapshot: base resolved against deduped deltas.
+    *
+    * '''Bucket pruning''' (the 100 TB read shape): base files whose bucket
+    * holds NO delta backlog (per [[touchedBuckets]]) never enter the
+    * resolution join at all — they pass through as an identity scan. A
+    * bucket-localized backlog on a huge table then costs: touched buckets
+    * join (exchanged only in the full-outer shape), everything else is a
+    * plain pruned scan — instead of exchanging (full-outer) or anti-join
+    * re-scanning (broadcast residue) the ENTIRE base. Pruning trusts the
+    * manifest's bucket labels and the transactional flat histogram; both are
+    * engine-written (labels by the compaction's own bucketExpr partitioning,
+    * the histogram by the append job's observation pass) and rebucket
+    * refuses to run while deltas exist — and because a silent mismatch would
+    * mean wrong results, the pruned plan carries a codegen'd guard that
+    * raise_errors on any delta winner routing outside the touched set
+    * (evaluated with the winner's seq — no extra job, no silent staleness). */
   def resolve(table: LakeTable, s: Snapshot,
       broadcastMaxRows: Long = BroadcastWinnersMaxRows,
       broadcastMaxBytes: Long = BroadcastDeltaMaxBytes): DataFrame = {
@@ -117,27 +148,54 @@ object MorRead {
         when(dWins, isDel).otherwise(coalesce(bCol(LakeTable.DeletedCol), lit(false)))
           .as(LakeTable.DeletedCol))
 
-    val b = table.readInternal(s, s.files).alias("b")
-    val d = d0.alias("d")
+    // ---- bucket pruning: split base into join side / identity passthrough
+    val touched = touchedBuckets(s)
+    val (joinFiles, passFiles) = touched match {
+      case Some(tb) => s.files.partition(f => tb.contains(f.bucket))
+      case None => (s.files, Seq.empty[DataFile])
+    }
+    // runtime guard (pruned plans only): a delta winner routing outside the
+    // touched set means the labels/histogram lied — fail the query, never
+    // silently skip the passthrough rows it should have resolved against
+    val dGuarded = touched match {
+      case Some(tb) if passFiles.nonEmpty =>
+        val bOf = table.bucketExpr(col("repo"), col("path"))
+        d0.withColumn("seq",
+          when(bOf.isin(tb.toSeq.map(Int.box): _*), col("seq"))
+            .otherwise(raise_error(concat(
+              lit("MOR bucket pruning: delta winner outside the touched bucket set, bucket="),
+              bOf.cast("string")))))
+      case _ => d0
+    }
+
+    val b = table.readInternal(s, joinFiles).alias("b")
+    val d = dGuarded.alias("d")
     val baseSeq = col(s"b.${LakeTable.SeqCol}")
     val dWins = col("d.seq").isNotNull && (baseSeq.isNull || col("d.seq") > baseSeq)
     val keyCond = col("b.repo") === col("d.repo") && col("b.path") === col("d.path")
 
-    val resolvedInternal =
+    val resolvedJoin =
       if (s.deltaRows <= broadcastMaxRows && deltaBytes(table, s) <= broadcastMaxBytes) {
         // broadcast shape: the base side keeps its scan partitioning (no
         // exchange); full-outer is decomposed into matched + insert residue
         // exactly like the COW merge's broadcast-incremental strategy
         val matched = b.join(broadcast(d), keyCond, "left_outer")
           .select(outCols(n => col(s"b.$n"), dWins, baseSeq): _*)
-        val baseKeys = table.readInternal(s, s.files).select(col("repo"), col("path"))
-        val inserts = d0.join(baseKeys, Seq("repo", "path"), "left_anti").alias("d")
+        val baseKeys = table.readInternal(s, joinFiles).select(col("repo"), col("path"))
+        val inserts = dGuarded.join(baseKeys, Seq("repo", "path"), "left_anti").alias("d")
           .select(outCols(n => lit(null), lit(true), lit(null).cast("long")): _*)
         matched.unionByName(inserts)
       } else {
         b.join(d, keyCond, "full_outer")
           .select(outCols(n => col(s"b.$n"), dWins, baseSeq): _*)
       }
+    val resolvedInternal =
+      if (passFiles.isEmpty) resolvedJoin
+      else resolvedJoin.unionByName(
+        table.readInternal(s, passFiles).select(
+          (sch.columns.map(c => col(c.name)) :+
+            col(LakeTable.SeqCol) :+
+            coalesce(col(LakeTable.DeletedCol), lit(false)).as(LakeTable.DeletedCol)): _*))
 
     resolvedInternal
       .filter(!col(LakeTable.DeletedCol))

@@ -511,6 +511,65 @@ class MorSpec extends AnyFunSuite {
       "folded tombstone must absorb stale COW replays too")
   }
 
+  test("bucket-pruned MOR reads: untouched buckets bypass the join; a lying histogram fails loudly") {
+    import spark.implicits._
+    val tableDir = TestSpark.tmpDir("graft-mor-prune")
+    val table = LakeTable.create(spark, tableDir, numBuckets = 8)
+    def rows(ids: Seq[Int], op: String, seqBase: Long) =
+      ids.toDF("id").select(
+        concat(lit("r"), col("id") % 3).as("repo"), concat(lit("f"), col("id")).as("path"),
+        lit(op).as("op"), (col("id") + seqBase).as("seq"),
+        struct(concat(lit("r"), col("id") % 3).as("repo"),
+          concat(lit("f"), col("id")).as("path"), lit("c0").as("commit"),
+          lit("scala").as("lang"), concat(lit("v"), col("id") + seqBase).as("content")).as("after"))
+    MergeApply.merge(table, rows(0 until 400, "insert", 0L), Map.empty)
+
+    // a backlog CONFINED to one bucket: update 20 keys that all hash there
+    val withB = spark.range(400).select(col("id").cast("int").as("id"),
+      table.bucketExpr(concat(lit("r"), col("id") % 3),
+        concat(lit("f"), col("id"))).as("b"))
+    val targetBucket = withB.filter(col("id") === 0).select("b").as[Int].head()
+    val targetIds = withB.filter(col("b") === targetBucket)
+      .select("id").as[Int].collect().toSeq
+    MergeApply.appendDelta(table, rows(targetIds.take(20), "update", 1000L), Map.empty)
+    val s = table.refresh()
+
+    // metadata (flat histogram) names exactly the touched bucket
+    assert(graft.lake.MorRead.touchedBuckets(s) === Some(Set(targetBucket)))
+
+    // blind control: histogram knocked out → no pruning possible
+    val blind = s.copy(flatDeltaHist = None)
+    assert(graft.lake.MorRead.touchedBuckets(blind).isEmpty)
+    val expected = graft.lake.MorRead.resolve(table, blind, broadcastMaxBytes = 0L)
+      .collect().map(_.toString).toSet
+
+    // pruned full-outer shape: passthrough Union present, result identical
+    val pruned = graft.lake.MorRead.resolve(table, s, broadcastMaxBytes = 0L)
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    val blindPlan = graft.lake.MorRead.resolve(table, blind, broadcastMaxBytes = 0L)
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("Union"),
+      s"pruned plan must carry the untouched-bucket passthrough branch:\n$prunedPlan")
+    assert(!blindPlan.contains("Union"),
+      s"without metadata the whole base must enter the join (no passthrough):\n$blindPlan")
+    assert(pruned.collect().map(_.toString).toSet === expected)
+    // pruned broadcast shape agrees too
+    assert(graft.lake.MorRead.resolve(table, s).collect().map(_.toString).toSet === expected)
+    // and the public read (which routes through resolve) matches the oracle rows
+    assert(table.read().count() === 400)
+
+    // a LYING histogram (backlog actually in targetBucket, metadata claims
+    // another) must fail the query — never silently serve stale passthrough
+    val lying = s.copy(flatDeltaHist = Some(Map(((targetBucket + 1) % 8) -> 20L)))
+    val e = intercept[Throwable] {
+      graft.lake.MorRead.resolve(table, lying, broadcastMaxBytes = 0L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("MOR bucket pruning")),
+      s"expected the pruning guard to fire, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("async fold worker: in-flight submits skip; failures rethrow at drain and at the next submit") {
     import graft.ingest.MorFolds
 
