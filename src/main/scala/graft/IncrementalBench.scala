@@ -115,6 +115,25 @@ object IncrementalBench {
       .filter(col("b") === 0).limit(backlogN)
       .collect().map(_.getLong(0)).toSeq
     MergeApply.appendDelta(pt, delta(oneBucketKeys, "update", nBase * 50), Map.empty)
+
+    // Bucket-pruned MOR read (round 5): with the backlog confined to one
+    // bucket, resolution joins ONLY that bucket's base files — the other
+    // 63/64 of the table passes through as a plain scan. Control: the same
+    // snapshot with the histogram knocked out (pruning impossible). Both
+    // forced to the full-outer (exchange) shape — the shape a large backlog
+    // takes, where pruning is the O(touched)-vs-O(table) difference.
+    val ps = pt.refresh()
+    def timedCount(df: org.apache.spark.sql.DataFrame): Double = {
+      val t = System.nanoTime(); df.count(); (System.nanoTime() - t) / 1e9
+    }
+    val prunedReadSec = timedCount(
+      graft.lake.MorRead.resolve(pt, ps, broadcastMaxBytes = 0L))
+    val blindReadSec = timedCount(
+      graft.lake.MorRead.resolve(pt, ps.copy(flatDeltaHist = None), broadcastMaxBytes = 0L))
+    println(f"[incr] bucket-pruned MOR read (1-bucket backlog, full-outer shape): " +
+      f"pruned $prunedReadSec%5.2f s vs blind $blindReadSec%5.2f s " +
+      f"(ratio ${prunedReadSec / blindReadSec}%.3f)")
+
     def rewrittenBy(body: => Unit): (Double, Long) = {
       val before = pt.refresh().files
       val t = System.nanoTime()
@@ -184,7 +203,9 @@ object IncrementalBench {
       f""""labeledOneBucketFoldRowsRewritten":$labeledOneBucketRows,""" +
       f""""scatterFullFoldSec":$scatterFoldSec%.2f,"scatterFullFoldRowsRewritten":$scatterRows,""" +
       f""""partialFoldCostRatio":${oneBucketFoldSec / scatterFoldSec}%.3f,""" +
-      f""""partialFoldRewriteRatio":${oneBucketRows.toDouble / math.max(1L, scatterRows)}%.4f}"""
+      f""""partialFoldRewriteRatio":${oneBucketRows.toDouble / math.max(1L, scatterRows)}%.4f,""" +
+      f""""prunedReadSec":$prunedReadSec%.2f,"blindReadSec":$blindReadSec%.2f,""" +
+      f""""readPruneRatio":${prunedReadSec / blindReadSec}%.3f}"""
     println(line)
     val p = java.nio.file.Paths.get("BENCH")
     java.nio.file.Files.createDirectories(p)
