@@ -302,11 +302,13 @@ class LakeTable private (val spark: SparkSession, val dir: String, @volatile pri
 
     val stats: Seq[(Int, String, Long, Long, Long, Long)] =
       if (targets.size >= distributedMinFiles) {
-        val session = spark
-        import session.implicits._
-        val parallelism = math.max(1, math.min(targets.size / 16 + 1,
-          session.sparkContext.defaultParallelism * 2))
-        session.createDataset(targets).repartition(parallelism)
+        // one shuffle-free stage: parallelize WITH slices (a repartition here
+        // cost a whole extra stage + exchange — measured ~2.5-8 s per replay
+        // when every commit crossed the old 512-file threshold, a fixed tax
+        // the 16-thread driver pool never paid; see BENCH/runs.md A/B)
+        val parallelism = math.max(1, math.min(targets.size / 64 + 1,
+          spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(targets, parallelism)
           .mapPartitions { it =>
             // executors build a plain local-FS conf; the session conf object
             // is not serializable and carries nothing these reads need
@@ -385,8 +387,15 @@ object LakeTable {
   }
 
   /** Commits writing at least this many files compute footer stats via a
-    * Spark job instead of the driver thread pool (see listWrittenFiles). */
-  val DistributedFooterStatsMinFiles = 512
+    * Spark job instead of the driver thread pool (see listWrittenFiles).
+    * Sized where the job WINS: the pool reads 4096 footers in ~2-3 s at 16
+    * threads, while even a shuffle-free job pays scheduling + collect
+    * latency — the round-5 512-file default put a measured ~2.5-8 s Spark
+    * job on EVERY bulk-replay commit and cost ~7 s per 32M-event replay
+    * (same-window A/B vs the pool, BENCH/runs.md). GRAFT_FOOTER_JOB_MIN_FILES
+    * overrides (ops knob + A/B lever). */
+  val DistributedFooterStatsMinFiles: Int =
+    sys.env.get("GRAFT_FOOTER_JOB_MIN_FILES").map(_.toInt).getOrElse(4096)
 
   /** (rowCount, min(_hkey), max(_hkey)) from one parquet footer. Missing
     * stats degrade to the full range — pruning stays sound (over-inclusive).
