@@ -55,6 +55,13 @@ object Main {
     graft.ingest.Ingest.IngestConfig(
       morMode = sys.env.get("GRAFT_MOR").exists(v => v == "1" || v == "true"),
       morFoldEvery = sys.env.get("GRAFT_MOR_FOLD_EVERY").map(_.toInt).getOrElse(0),
+      // cadence folds are PARTIAL by default (only buckets whose backlog
+      // reached this many events rewrite base — a cadence tick must never be
+      // O(table)); GRAFT_MOR_FOLD_MIN_PER_BUCKET=0 forces unconditional
+      // folds, and the explicit CLI `fold <table> [minEvents]` is always
+      // available for a final full compaction
+      morFoldMinEventsPerBucket =
+        sys.env.get("GRAFT_MOR_FOLD_MIN_PER_BUCKET").map(_.toLong).getOrElse(16384L),
       // GRAFT_MOR_RAW=1: shuffle-free raw appends (skip per-batch LWW dedup;
       // right for low-duplication sources — see IngestConfig.morDedupPerBatch)
       morDedupPerBatch = !sys.env.get("GRAFT_MOR_RAW").exists(v => v == "1" || v == "true"))
