@@ -20,8 +20,16 @@ import scala.jdk.CollectionConverters._
   * }}}
   */
 object Main {
+  /** Engine version (reference: /root/reference/cmd/version.go:12-18). */
+  val Version = "0.6.0"
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { usage(); sys.exit(2) }
+    if (args(0) == "version") { // no Spark session needed for a version print
+      println(s"graft-cdc $Version (spark ${org.apache.spark.SPARK_VERSION}, " +
+        s"scala ${scala.util.Properties.versionNumberString})")
+      return
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
@@ -49,22 +57,30 @@ object Main {
     finally spark.stop()
   }
 
-  /** GRAFT_MOR=1 switches run/tail into merge-on-read mode (delta-file
-    * appends + read-time resolution; `fold` compacts). */
-  private def defaultCfg: graft.ingest.Ingest.IngestConfig =
-    graft.ingest.Ingest.IngestConfig(
-      morMode = sys.env.get("GRAFT_MOR").exists(v => v == "1" || v == "true"),
-      morFoldEvery = sys.env.get("GRAFT_MOR_FOLD_EVERY").map(_.toInt).getOrElse(0),
+  /** Streaming entry points (`run`/`tail`/`tailrules`) default to
+    * merge-on-read with the async partial-fold cadence
+    * ([[graft.ingest.Ingest.IngestConfig.streamingDefault]]) — the
+    * high-throughput shape. GRAFT_MOR=0 opts back into copy-on-write
+    * streaming (one merge per micro-batch; the right shape only when
+    * batches are large and keys cluster). */
+  private def defaultCfg: graft.ingest.Ingest.IngestConfig = {
+    val base = graft.ingest.Ingest.IngestConfig.streamingDefault
+    base.copy(
+      morMode = !sys.env.get("GRAFT_MOR").exists(v => v == "0" || v == "false"),
+      morFoldEvery = sys.env.get("GRAFT_MOR_FOLD_EVERY").map(_.toInt)
+        .getOrElse(base.morFoldEvery),
       // cadence folds are PARTIAL by default (only buckets whose backlog
       // reached this many events rewrite base — a cadence tick must never be
       // O(table)); GRAFT_MOR_FOLD_MIN_PER_BUCKET=0 forces unconditional
       // folds, and the explicit CLI `fold <table> [minEvents]` is always
       // available for a final full compaction
       morFoldMinEventsPerBucket =
-        sys.env.get("GRAFT_MOR_FOLD_MIN_PER_BUCKET").map(_.toLong).getOrElse(16384L),
+        sys.env.get("GRAFT_MOR_FOLD_MIN_PER_BUCKET").map(_.toLong)
+          .getOrElse(base.morFoldMinEventsPerBucket),
       // GRAFT_MOR_RAW=1: shuffle-free raw appends (skip per-batch LWW dedup;
       // right for low-duplication sources — see IngestConfig.morDedupPerBatch)
       morDedupPerBatch = !sys.env.get("GRAFT_MOR_RAW").exists(v => v == "1" || v == "true"))
+  }
 
   private def dispatch(spark: SparkSession, args: Array[String]): Unit = args(0) match {
     case "gen" =>
@@ -239,6 +255,7 @@ object Main {
       |  rebucket <tableDir> <newBuckets>
       |  expire  <tableDir> [keepSnapshots]
       |  verify  <logDir> <tableDir>
-      |env: GRAFT_MOR=1 (run/tail append merge-on-read deltas; `fold` compacts),
+      |  version
+      |env: GRAFT_MOR=0 (opt run/tail back into copy-on-write; merge-on-read is the default),
       |     GRAFT_HTTP_PORT=<p> (tail control plane), SPARK_GRAFT_CPUS, GRAFT_PROF""".stripMargin)
 }

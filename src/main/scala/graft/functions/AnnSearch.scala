@@ -124,11 +124,6 @@ object AnnSearch {
     // same IEEE formulation as the generated oracle: floor(x+0.5) / ceil(x-0.5)
     def roundAwayCol(x: Column): Column =
       when(x >= 0, floor(x + lit(0.5d))).otherwise(ceil(x - lit(0.5d)))
-    val dim0 = corpus.select(size(col(vecCol))).head().getInt(0)
-    require(c.toLong * dim0 * 8 <= maxCentroidBytes,
-      s"IVF centroid matrix C=$c × D=$dim0 = ${c.toLong * dim0 * 8} bytes exceeds " +
-        s"maxCentroidBytes=$maxCentroidBytes (driver + per-iteration broadcast footprint); " +
-        "raise the cap or use a hierarchical quantizer")
     val e = corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"),
       l2norm(col(vecCol)).as("nrm"))
       .persist() // scanned once per Lloyd iteration (assignment + dim sums)
@@ -138,6 +133,17 @@ object AnnSearch {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1).toSeq
+    // dim comes from the seed collect that happens anyway — no dedicated
+    // sizing job, and an empty corpus fails HERE with a clear message
+    // instead of a bare NoSuchElementException
+    require(cents.nonEmpty,
+      s"lloydCentroids: no seed centroids — corpus has no rows with $idCol < c=$c " +
+        "(empty corpus, or ids not 0-based)")
+    val dim0 = cents.head._2.length
+    require(c.toLong * dim0 * 8 <= maxCentroidBytes,
+      s"IVF centroid matrix C=$c × D=$dim0 = ${c.toLong * dim0 * 8} bytes exceeds " +
+        s"maxCentroidBytes=$maxCentroidBytes (driver + per-iteration broadcast footprint); " +
+        "raise the cap or use a hierarchical quantizer")
     for (_ <- 0 until iters) {
       // assignment as ONE kernel (VecArgMaxCos: argmax over the baked C×D
       // centroid matrix — round(cos·1e9) desc, cent_id asc): no crossJoin,

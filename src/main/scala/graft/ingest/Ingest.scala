@@ -96,6 +96,18 @@ object Ingest {
         * order-independent; see ConvergencePropertySpec). */
       orderedDelivery: Boolean = false)
 
+  object IngestConfig {
+    /** Default config for STREAMING entry points (`run`/`tail`/`tailrules`):
+      * merge-on-read appends with an async partial-fold cadence — the shape
+      * that sustains high-frequency micro-batches whose keys scatter across
+      * the table (COW streaming pays an O(touched files) rewrite per batch,
+      * measured ~8× slower on the bench stream). Batch `replay` keeps the
+      * plain COW default (one big merge wins there). Opt out per-process
+      * with GRAFT_MOR=0. */
+    val streamingDefault: IngestConfig = IngestConfig(
+      morMode = true, morFoldEvery = 2, morFoldMinEventsPerBucket = 16384L)
+  }
+
   final case class BatchMetrics(
       batchId: Long,
       eventsSeen: Long,
@@ -690,18 +702,30 @@ object Ingest {
           })
         }.filter(_._2 > 0L).toMap)
       } catch { case _: java.util.concurrent.TimeoutException => None }
-    timed(s"mor-$batchId-commit")(graft.lake.LakeTable.withCommitRetry(table)(table.commit(
-      Set.empty, Seq.empty, fenceDelta,
-      Map("eventsApplied" -> rowCount,
-        "tombstonesWritten" -> ndel,
-        "deltaEventsAppended" -> newDeltas.iterator.map(_.rows).sum,
-        "deltaFilesWritten" -> newDeltas.size.toLong,
-        "deadLetters" -> dlCount, "eventsSeen" -> total,
-        "batches" -> 1L),
-      batchId, maxSeq = metricL("maxSeq"), newDeltaFiles = newDeltas,
-      flatHistOp =
+    timed(s"mor-$batchId-commit")(graft.lake.LakeTable.withCommitRetry(table) {
+      // the histogram was computed under snap0's bucket layout (_hb used
+      // table.bucketExpr at plan-build time); a rebucket racing this batch
+      // would land a histogram keyed to the OLD layout — same blast radius
+      // as a wrong-exact histogram. Recheck inside the retry and poison to
+      // scan fallback when the layout moved (mirrors RebucketedDuringAppend
+      // in appendDelta, which must redo the write; delta files themselves
+      // carry no layout so Add(None) suffices here).
+      val hist =
         if (newDeltas.isEmpty) graft.lake.FlatHistOp.Keep
-        else graft.lake.FlatHistOp.Add(batchHist))))
+        else if (table.snapshot.numBuckets != snap0.numBuckets)
+          graft.lake.FlatHistOp.Add(None)
+        else graft.lake.FlatHistOp.Add(batchHist)
+      table.commit(
+        Set.empty, Seq.empty, fenceDelta,
+        Map("eventsApplied" -> rowCount,
+          "tombstonesWritten" -> ndel,
+          "deltaEventsAppended" -> newDeltas.iterator.map(_.rows).sum,
+          "deltaFilesWritten" -> newDeltas.size.toLong,
+          "deadLetters" -> dlCount, "eventsSeen" -> total,
+          "batches" -> 1L),
+        batchId, maxSeq = metricL("maxSeq"), newDeltaFiles = newDeltas,
+        flatHistOp = hist)
+    })
 
     val bm = BatchMetrics(batchId, total, dlCount,
       math.max(unfencedN - dlCount - ddls.length - rowCount, 0),

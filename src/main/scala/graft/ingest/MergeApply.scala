@@ -432,12 +432,36 @@ object MergeApply {
       .options(Map("compression" -> deltaFileCodec,
         "maxRecordsPerFile" -> snap.targetFileRows.toString))
       .parquet(commitDir)
-    val appended = readMetric(obs, "appended")
-    val batchHist: Option[Map[Int, Long]] =
-      if (histN == 0) None
-      else Some((0 until histN).iterator.map(i => i -> readMetric(obs, s"_h$i"))
-        .filter(_._2 > 0L).toMap)
     val newDeltas = table.listWrittenFilesFlat(commitDir, sch.schemaId)
+    // Fetch the observation ONCE. If it comes back empty (AQE empty-relation
+    // hazard: the CollectMetrics node pruned from the plan) or without the
+    // "appended" key while files WERE written, per-metric reads would
+    // silently report 0 — an exact-but-wrong histogram that foldPartial
+    // would trust (dropping unselected winners) and pruned MOR reads would
+    // trip on. Mirror applyBatchMor: poison the histogram to None (scan
+    // fallback) and recover the counts from the written files instead.
+    val om: Map[String, Any] =
+      try observedMetrics(obs)
+      catch { case _: java.util.concurrent.TimeoutException => Map.empty[String, Any] }
+    def omL(name: String): Long = om.get(name) match {
+      case Some(v: Long) => v
+      case Some(v: java.lang.Long) => v.longValue()
+      case _ => if (name == "maxSeq") -1L else 0L
+    }
+    val obsLost = newDeltas.nonEmpty && !om.contains("appended")
+    val (appended, deletes, maxSeqV) =
+      if (!obsLost) (omL("appended"), omL("deletes"), omL("maxSeq"))
+      else { // rare recovery path: one dedicated stats job over the new files
+        val r = table.spark.read.parquet(commitDir).agg(
+          count(lit(1)), sum(when(col("op") === Ops.Delete, 1L).otherwise(0L)),
+          max(col("seq"))).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))
+      }
+    val batchHist: Option[Map[Int, Long]] =
+      if (histN == 0 || obsLost) None
+      else Some((0 until histN).iterator.map(i => i -> omL(s"_h$i"))
+        .filter(_._2 > 0L).toMap)
     graft.lake.LakeTable.withCommitRetry(table) {
       if (table.snapshot.numBuckets != snap.numBuckets)
         throw new RebucketedDuringAppend // escape the retry; redo the write
@@ -445,13 +469,13 @@ object MergeApply {
         Map("deltaEventsAppended" -> appended,
           "deltaFilesWritten" -> newDeltas.size.toLong,
           "batches" -> 1L) ++ extraMetrics,
-        batchId, maxSeq = readMetric(obs, "maxSeq"), newDeltaFiles = newDeltas,
+        batchId, maxSeq = maxSeqV, newDeltaFiles = newDeltas,
         flatHistOp = FlatHistOp.Add(batchHist))
     }
     MergeResult(
       eventsApplied = appended,
-      upserts = appended - readMetric(obs, "deletes"),
-      tombstonesWritten = readMetric(obs, "deletes"),
+      upserts = appended - deletes,
+      tombstonesWritten = deletes,
       conflictsLww = 0, duplicatesIgnored = 0, affectedBuckets = 0,
       filesRewritten = 0, filesAdded = newDeltas.size)
   }

@@ -279,6 +279,12 @@ object MorFolds {
   }
   private val workers = new java.util.concurrent.ConcurrentHashMap[String, Worker]()
 
+  /** Registry key: the NORMALIZED absolute table path — '/t' vs '/t/' vs a
+    * relative spelling must all hit the same Worker, or the one-in-flight-
+    * fold-per-table skip is defeated and concurrent cadence folds race. */
+  private def normKey(dir: String): String =
+    java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+
   /** Submit a cadence fold; returns false when skipped (previous fold still
     * in flight). Rethrows a previous async failure instead of submitting. */
   def submit(spark: org.apache.spark.sql.SparkSession, tableDir: String,
@@ -289,7 +295,8 @@ object MorFolds {
 
   /** Worker mechanics behind [[submit]], keyed by table dir (factored out so
     * the skip/failure contract is unit-testable without a Spark fold). */
-  private[graft] def submitTask(key: String)(task: => Unit): Boolean = {
+  private[graft] def submitTask(rawKey: String)(task: => Unit): Boolean = {
+    val key = normKey(rawKey)
     val w = workers.computeIfAbsent(key, _ => new Worker)
     val prior = w.failure.getAndSet(null)
     if (prior != null) throw prior
@@ -308,10 +315,15 @@ object MorFolds {
   /** Wait for any in-flight fold of `tableDir`; rethrows its failure.
     * Callers run this at stream end, BEFORE any final convergence fold. */
   def drain(tableDir: String): Unit = {
-    val w = workers.get(tableDir)
+    val key = normKey(tableDir)
+    val w = workers.get(key)
     if (w == null) return
     val t = w.thread
     if (t != null) t.join()
+    // unregister after a clean join so a long-lived process (benches create a
+    // fresh temp table per run) doesn't grow the map unboundedly; guarded
+    // remove(key, w) + busy check so a racing re-submit keeps its entry
+    if (!w.busy.get()) workers.remove(key, w)
     val f = w.failure.getAndSet(null)
     if (f != null) throw f
   }

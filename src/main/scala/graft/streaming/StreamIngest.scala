@@ -33,7 +33,7 @@ object StreamIngest {
       checkpointDir: String,
       maxFilesPerTrigger: Int = 8,
       availableNow: Boolean = true,
-      cfg: IngestConfig = IngestConfig(),
+      cfg: IngestConfig = IngestConfig.streamingDefault,
       /** e.g. Some("10 minutes"): state-store dedup of (partition, offset)
         * ACROSS micro-batches via dropDuplicatesWithinWatermark — for sources
         * that can re-deliver an event in a different batch within a bounded
@@ -102,7 +102,7 @@ object StreamIngest {
       tableDir: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 8,
-      cfg: IngestConfig = IngestConfig()): Unit = {
+      cfg: IngestConfig = IngestConfig.streamingDefault): Unit = {
     val listener = new ProgressListener(tableDir)
     spark.streams.addListener(listener)
     val q = start(spark, logDir, tableDir, checkpointDir, maxFilesPerTrigger,
@@ -121,7 +121,7 @@ object StreamIngest {
     * registered rule and each rule filters and applies independently
     * (/root/reference/cobra/handler.go:77-101 fan-in,
     * /root/reference/rules/factory.go rule registry). */
-  final case class Rule(name: String, tableDir: String, cfg: IngestConfig = IngestConfig())
+  final case class Rule(name: String, tableDir: String, cfg: IngestConfig = IngestConfig.streamingDefault)
 
   /** ONE stream, N rules: each micro-batch is read once (persisted when more
     * than one rule consumes it) and applied to every rule's table through the
@@ -416,7 +416,7 @@ object StreamIngest {
       tableDir: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 8,
-      cfg: IngestConfig = IngestConfig(),
+      cfg: IngestConfig = IngestConfig.streamingDefault,
       httpPort: Option[Int] = None): Unit = {
     val marker = stopMarker(tableDir)
     val pause = pauseMarker(tableDir)

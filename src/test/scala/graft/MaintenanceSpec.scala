@@ -50,9 +50,13 @@ class MaintenanceSpec extends AnyFunSuite {
   }
 
   private object StreamIngest {
+    // explicit COW config: this spec exercises copy-on-write compaction /
+    // tombstone GC (MOR is the streaming default since round 6; MOR deletes
+    // live in delta files, not base tombstones)
     def run(spark: org.apache.spark.sql.SparkSession, logDir: String, tableDir: String): Unit =
       graft.streaming.StreamIngest.runAvailable(spark, logDir, tableDir,
-        TestSpark.tmpDir("graft-comp-ckpt"), maxFilesPerTrigger = 4)
+        TestSpark.tmpDir("graft-comp-ckpt"), maxFilesPerTrigger = 4,
+        cfg = Ingest.IngestConfig())
   }
 
   private def liveSha(table: LakeTable): Set[(String, String, String)] =
