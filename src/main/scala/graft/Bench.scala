@@ -40,8 +40,13 @@ object Bench {
     * folds; Hudi compaction-scheduling shape). The final unconditional fold
     * then only sweeps the remainder, so the reported number exercises the
     * whole MOR lifecycle: append → scheduled partial fold → final fold. */
+  /** Mirrors the streaming default (fold knobs env-overridable for A/Bs —
+    * under the bench's AvailableNow replay the cadence is suppressed by the
+    * engine anyway; see StreamIngest.start). */
   val MorBenchConfig: Ingest.IngestConfig = Ingest.IngestConfig(morMode = true,
-    morFoldEvery = 2, morFoldMinEventsPerBucket = 16384L)
+    morFoldEvery = sys.env.getOrElse("GRAFT_MOR_FOLD_EVERY", "2").toInt,
+    morFoldMinEventsPerBucket =
+      sys.env.getOrElse("GRAFT_MOR_FOLD_MIN_EVENTS", "16384").toLong)
 
   /** Run the CDC ingest over a pre-written changelog; returns elapsed sec.
     * Dirty pages are synced OUTSIDE the timed window and the produced table
@@ -57,7 +62,10 @@ object Bench {
       StreamIngest.runAvailable(spark, logDir, tableDir, ckptDir, maxFilesPerTrigger = 16,
         cfg = if (mor) MorBenchConfig else Ingest.IngestConfig())
       if (mor) { // final fold cost is part of the honest end-to-end MOR number
+        val tf = System.nanoTime()
         graft.ingest.Mor.fold(LakeTable.load(spark, tableDir))
+        if (sys.env.contains("GRAFT_BENCH_SPLIT"))
+          println(f"[bench-split] stream=${(tf - t0) / 1e9}%.2f fold=${(System.nanoTime() - tf) / 1e9}%.2f")
         ()
       }
     } else {

@@ -99,6 +99,39 @@ object CdcBench {
         println(f"[cdc] stream_mor[$i,foldEvery=$fe,min=$fm,raw=$raw] ${s}%8.2f s  ${(cfg.nEvents / s).toLong} ev/s")
       }
     }
+    // GRAFT_RULES=N: continuous multi-rule MOR tail with async cadence folds
+    // (verdict r6 item #6) — N rules on one stream, each MOR + foldEvery=2,
+    // catch up on the pre-written log then graceful-stop; throughput counts
+    // applied events across rules
+    sys.env.get("GRAFT_RULES").map(_.toInt).filter(_ > 0).foreach { nRules =>
+      (1 to reps).foreach { i =>
+        val dirs = (0 until nRules).map(r => s"$work/ruletab-$i-$r-${System.nanoTime()}")
+        val ckpt = s"$work/rulesckpt-$i-${System.nanoTime()}"
+        dirs.foreach(d => LakeTable.create(spark, d, numBuckets = 64))
+        val rules = dirs.zipWithIndex.map { case (d, r) =>
+          StreamIngest.Rule(s"r$r", d, Ingest.IngestConfig(morMode = true,
+            morFoldEvery = 2, morFoldMinEventsPerBucket = 16384L)) }
+        val expectedFence = ChangeLog.readDF(spark, logDir)
+          .groupBy(org.apache.spark.sql.functions.col("partition"))
+          .agg(org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("offset")))
+          .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+        val t0 = System.nanoTime()
+        val tailThread = new Thread(() =>
+          StreamIngest.tailRules(spark, logDir, rules, ckpt, maxFilesPerTrigger = 16))
+        tailThread.start()
+        while (dirs.exists(d => LakeTable.load(spark, d).snapshot.fence != expectedFence))
+          Thread.sleep(100)
+        val caughtUp = (System.nanoTime() - t0) / 1e9
+        StreamIngest.requestStopRules(ckpt)
+        tailThread.join(120000)
+        val folds = dirs.map(d =>
+          LakeTable.load(spark, d).snapshot.metrics.getOrElse("morFolds", 0L)).sum
+        println(f"[cdc] tail_mor_rules[$i,n=$nRules] caught up ${caughtUp}%8.2f s  " +
+          f"${(cfg.nEvents * nRules / caughtUp).toLong} applied-ev/s  (cadence folds ran: $folds)")
+        dirs.foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
+    }
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
   }

@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
   */
 object MorAb {
   def main(args: Array[String]): Unit = {
+    if (args(0) == "gen") { genLog(args(1)); return } // shared log, written once
     val logDir = args(0)
     val runs = if (args.length > 1) args(1).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -46,5 +47,19 @@ object MorAb {
       spark.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     }
+  }
+
+  /** Write the STANDARD Bench changelog (Bench.cdcGenConfig at sf0.1 —
+    * 2M events, 16 partitions, 4 DDLs, skew 3.0) for both binaries to share. */
+  private def genLog(logDir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").appName("graft-morab-gen").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cfg = Bench.cdcGenConfig("/root/testdata/sf0.1", nPartitions = 16)
+    graft.log.ChangeLog.write(graft.gen.ChangelogGen.events(spark, cfg), logDir)
+    println(s"MORAB gen: ${cfg.nEvents} events -> $logDir")
+    spark.stop()
   }
 }

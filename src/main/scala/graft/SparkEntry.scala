@@ -304,6 +304,34 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"),
         round(col("est_jaccard") * 10000).cast("long").as("est_e4"))
 
+  /** INCREMENTAL near-dup: the batch-vs-store shape of dedup_minhash_lsh
+    * ([[graft.operators.SigStore]]). The corpus (doc_id % 10 != 0) is loaded
+    * into a persisted signature store once; the "incoming batch"
+    * (doc_id % 10 == 0) is then near-dup-checked against it WITHOUT scanning
+    * the corpus — the store read is partition-pruned to the LSH shards the
+    * batch's buckets hash into. Must equal the full-corpus recompute
+    * restricted to pairs with a batch side (the DuckDB oracle) bit-for-bit.
+    * Orientation is normalized numerically (the store keys docs as strings;
+    * string '<' disagrees with numeric '<' on multi-digit ids). */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SigStore
+    val docs = t(s, dir, "documents")
+    val cfg = SigStore.Config(shingleLen = 3, bands = 4, rowsPerBand = 4)
+    val store = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+    try {
+      SigStore.appendUpserts(store, docs.filter(col("doc_id") % 10 =!= 0),
+        col("doc_id"), col("text"), lit(1L), cfg)
+      val pairs = SigStore.incrementalPairs(s, store,
+        docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"),
+        cfg, minEst = 0.25) // materialized (localCheckpoint) before returning
+      pairs.select(
+        least(col("id_a").cast("long"), col("id_b").cast("long")).as("id_a"),
+        greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("id_b"),
+        round(col("est_jaccard") * 10000).cast("long").as("est_e4"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(store))
+  }
+
   /** SimHash near-dup pairs (62-bit md5-derived sketch, pigeonhole-blocked at
     * maxHamming=6 — 8-bit blocks; the round-1 default of 12 made 4-5-bit
     * blocks and a near-cartesian candidate set). Hash-checked vs DuckDB. */
@@ -370,53 +398,22 @@ object SparkEntry {
     * (√N at real scale). Assignment/probing order by round(cos*1e9)
     * (ties by centroid id) so the oracle ordering is engine-exact. */
   private def qAnnIvfTopk(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{AnnSearch, VecExprs}
-    import s.implicits._
-    val nCent = IvfC
-    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
-      AnnSearch.l2norm(col("embedding")).as("nrm"))
-    val trained = AnnSearch.lloydCentroids(
-      t(s, dir, "embeddings"), "vec_id", "embedding", nCent, IvfLloydIters)
-    val cents = trained.toDF("cent_id", "cvec")
-      .select(col("cent_id"), col("cvec"),
-        sqrt(VecExprs.dot(col("cvec"), col("cvec"))).as("cnrm"))
-    // assignment is a pure map via the VecArgMaxCos kernel (argmax of
-    // round(cos·1e9), ties → lowest cent_id; identical ordering to the
-    // row_number-over-(cos9 desc, cent_id) formulation it replaces) —
-    // no crossJoin, no window shuffle. The centroid matrix rides a Broadcast
-    // handle, NOT the plan (at C ~ √N a baked matrix is 10-100 MB inside
-    // every task closure); unpersisted right after the eager checkpoint.
-    // Materialized once: it feeds BOTH the probe selection and the candidate
-    // join below.
-    val cnorms = trained.map { case (_, cv) =>
-      var acc = 0.0; cv.foreach(x => acc += x * x); math.sqrt(acc)
-    }
-    val bc = VecExprs.broadcastCentroids(s, trained.map(_._2), cnorms)
-    val assigned = e
-      .withColumn("cent_id", element_at(typedlit(trained.map(_._1)),
-        VecExprs.argMaxCosBroadcast(col("embedding"), bc) + 1))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
-      .localCheckpoint(true)
-    bc.unpersist(blocking = false)
-    val probes = assigned.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-      .crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qe"), col("qn"), col("cent_id"),
-        round(AnnSearch.cosineWithNorms(col("qe"), col("cvec"), col("qn"), col("cnrm")) * 1e9)
-          .cast("long").as("cos9"))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos9").desc, col("cent_id"))))
-      .filter(col("_rn") <= 2)
-      .select(col("query_id"), col("qe"), col("qn"), col("cent_id"))
-    val cand = probes.join(assigned, "cent_id")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(AnnSearch.cosineWithNorms(col("qe"), col("embedding"),
-          col("qn"), col("nrm")) * 10000).cast("long").as("cos_e4"))
-      .distinct()
-    cand.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos_e4").desc, col("neighbor_id"))).cast("long"))
-      .filter(col("rank") <= 3)
+    import graft.operators.IvfIndex
+    // train-once / probe-many: the index (centroids + directory-partitioned
+    // inverted lists) is PERSISTED and the query path reads only it —
+    // probing prunes list directories, so a query costs ~nProbe/C of the
+    // corpus. Ingest appends ride IvfIndex.appendVectors (frozen centroids,
+    // same assignment kernel) — proved equal to a rebuild in IvfIndexSpec.
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    try {
+      val e = t(s, dir, "embeddings")
+      IvfIndex.build(idx, e, col("vec_id"), col("embedding"),
+        IvfIndex.Config(IvfC, IvfLloydIters))
+      IvfIndex.topK(s, idx, e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), nProbe = 2, k = 3)
+        .localCheckpoint(true) // materialize before the temp index is deleted
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(idx))
   }
 
   /** IVF quantizer parameters, shared with the oracle SQL generator. */
@@ -530,6 +527,7 @@ object SparkEntry {
     "embed_norm" -> (qEmbedNorm _),
     "ann_cosine_topk" -> (qAnnCosineTopk _),
     "dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "dedup_incremental" -> (qDedupIncremental _),
     "dedup_simhash" -> (qDedupSimhash _),
     "text_jaccard_adjacent" -> (qTextJaccardAdjacent _),
     "ann_lsh_topk" -> (qAnnLshTopk _),
@@ -559,6 +557,34 @@ object SparkEntry {
        |    list_sum(list_transform(range(1, ${k + 1}),
        |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))::BIGINT AS cnt
        |  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc < b.doc)
+       |SELECT id_a, id_b, CAST(round(cnt * 10000.0 / $k) AS BIGINT) AS est_e4
+       |FROM pairs WHERE cnt::DOUBLE / $k >= 0.25""".stripMargin
+  }
+
+  /** Full-corpus recompute restricted to pairs with a batch side — the
+    * incremental store must agree with this bit-for-bit (buckets a batch
+    * touches are read in full, so the global bucket cap is observable
+    * locally; see [[graft.operators.SigStore.incrementalPairs]]). */
+  private def incrementalOracleSql: String = {
+    import graft.functions.OracleHash
+    val k = 16; val bands = 4; val r = 4
+    val as = OracleHash.coefA(k); val bs = OracleHash.coefB(k)
+    val sigEntries = (0 until k).map { j =>
+      s"list_aggregate(list_transform(hs, h -> (${as(j)}*h + ${bs(j)}) % ${OracleHash.P}), 'min')"
+    }.mkString("[", ", ", "]")
+    s"""WITH sh AS (SELECT doc_id AS doc, ${OracleHash.sqlShingles("text", 3)} AS sh FROM documents),
+       |hs AS (SELECT doc, list_transform(sh, s -> ${OracleHash.sqlH32("s")}) AS hs FROM sh),
+       |sig AS (SELECT doc, $sigEntries AS sig FROM hs),
+       |banded AS (
+       |  SELECT doc, sig, b::VARCHAR || '|' || array_to_string(sig[b*$r+1 : b*$r+$r], ',') AS bucket
+       |  FROM sig, unnest(${(0 until bands).mkString("[", ",", "]")}) AS t(b)
+       |  QUALIFY count(*) OVER (PARTITION BY bucket) <= ${graft.functions.TextDedup.DefaultBucketCap}),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+       |    list_sum(list_transform(range(1, ${k + 1}),
+       |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))::BIGINT AS cnt
+       |  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc < b.doc
+       |  WHERE a.doc % 10 = 0 OR b.doc % 10 = 0)
        |SELECT id_a, id_b, CAST(round(cnt * 10000.0 / $k) AS BIGINT) AS est_e4
        |FROM pairs WHERE cnt::DOUBLE / $k >= 0.25""".stripMargin
   }
@@ -713,6 +739,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_incremental" -> incrementalOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "ann_lsh_topk" -> annLshOracleSql,
     "ann_ivf_topk" -> annIvfOracleSql,

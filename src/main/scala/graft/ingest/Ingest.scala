@@ -81,6 +81,16 @@ object Ingest {
         * a low-duplication source (unique keys per batch) should turn this
         * off and skip the shuffle. */
       morDedupPerBatch: Boolean = true,
+      /** Maintain the transactional per-bucket flat-delta histogram on each
+        * MOR append (numBuckets conditional sums riding the write job's
+        * Observation). The histogram buys zero-job fold scheduling and
+        * bucket-pruned reads on a LIVE tail; a bounded catch-up replay
+        * (AvailableNow) schedules no cadence folds and ends in a full fold
+        * that self-heals the histogram to exact-empty, so streaming entry
+        * points disable it there (measured ~15% of bulk-stream wall at 64
+        * buckets). Off ⇒ commits poison the histogram (Add(None)) and
+        * schedulers fall back to one narrow scan. */
+      morBatchHistogram: Boolean = true,
       /** dedup via explicit two-phase salted aggregation instead of relying
         * on max_by partial aggregation */
       saltedDedup: Int = 0,
@@ -94,7 +104,20 @@ object Ingest {
         * high-water mark and re-delivered events are neutralized by
         * last-writer-wins + tombstones instead (convergence is
         * order-independent; see ConvergencePropertySpec). */
-      orderedDelivery: Boolean = false)
+      orderedDelivery: Boolean = false,
+      /** When set, every applied micro-batch also maintains a persisted
+        * near-duplicate signature store at this directory
+        * ([[graft.operators.SigStore.maintainFromEvents]]): the LWW winner
+        * of each content-carrying key is re-signed (MinHash bands + SimHash
+        * sketch), deletes tombstone the doc. Incoming batches can then be
+        * near-dup-checked against the whole corpus in O(batch) via
+        * [[graft.operators.SigStore.incrementalPairs]] — no corpus rescan.
+        * Store writes are append-only and idempotent, so they need no extra
+        * exactly-once machinery beyond the stream's own batch retry. */
+      sigStoreDir: Option[String] = None,
+      /** Signature parameters for [[sigStoreDir]] (bands, rows per band,
+        * shard fan-out). Must match across all writers of one store. */
+      sigStoreCfg: graft.operators.SigStore.Config = graft.operators.SigStore.Config())
 
   object IngestConfig {
     /** Default config for STREAMING entry points (`run`/`tail`/`tailrules`):
@@ -259,6 +282,13 @@ object Ingest {
     val err = Validate.errorExpr
     val isRowOp = col("op").isin(Ops.rowOps.toSeq: _*)
     val passes = cfg.filter.expr
+
+    // opt-in signature-store maintenance rides the batch BEFORE the merge
+    // (same filter chain as the table; fence filtering is unnecessary —
+    // re-delivered old events append below the head seq, which reads drop)
+    cfg.sigStoreDir.foreach(d => timed(s"batch-$batchId-sigstore")(
+      graft.operators.SigStore.maintainFromEvents(
+        d, batch.filter(err.isNull && isRowOp && passes), cfg.sigStoreCfg)))
 
     // Deliberately NOT persisting the batch: for parquet-backed micro-batches
     // a columnar cache build costs far more than the two vectorized re-scans
@@ -587,6 +617,11 @@ object Ingest {
     val passes = cfg.filter.expr
     val isLiveRow = unfenced && err.isNull && isRowOp && passes
 
+    // opt-in signature-store maintenance (see applyBatch; same semantics)
+    cfg.sigStoreDir.foreach(d => timed(s"mor-batch-$batchId-sigstore")(
+      graft.operators.SigStore.maintainFromEvents(
+        d, batch.filter(err.isNull && isRowOp && passes), cfg.sigStoreCfg)))
+
     val obs = org.apache.spark.sql.Observation(s"mor-${java.util.UUID.randomUUID()}")
     val observed = batch.observe(obs,
       graft.functions.PartitionLongAgg.partitionMax(col("partition"), col("offset")).as("fence"),
@@ -611,7 +646,8 @@ object Ingest {
     // Same fused-job principle — conditional sums ride the write, no extra
     // job. Disabled above HistMaxBuckets (Add(None) ⇒ scan fallback).
     val histN =
-      if (snap0.numBuckets <= graft.lake.Snapshot.HistMaxBuckets) snap0.numBuckets else 0
+      if (!cfg.morBatchHistogram) 0
+      else if (snap0.numBuckets <= graft.lake.Snapshot.HistMaxBuckets) snap0.numBuckets else 0
     val histObs = org.apache.spark.sql.Observation(s"mor-hist-${java.util.UUID.randomUUID()}")
     val payload =
       if (histN == 0) payload0

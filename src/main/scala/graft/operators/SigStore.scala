@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{TextDedup, VecExprs}
+
+/** Persisted near-duplicate signature store — the INCREMENTAL shape of
+  * [[graft.functions.TextDedup.minHashLshPairs]].
+  *
+  * A training-data pipeline at 100 TB cannot re-shingle the whole corpus to
+  * dedup each incoming batch; it maintains a signature table once and joins
+  * each NEW batch against only the LSH buckets the batch touches. This store
+  * is that table, laid out so the batch-side read cost is O(batch), never
+  * O(corpus):
+  *
+  *  - `sig/sp=N/` — banded signature rows `(doc, band, bucket, sig, seq)`,
+  *    hash-partitioned by BUCKET into `shards` directories. An incoming
+  *    batch's buckets map to a set of shards; the scan filter on `sp` is a
+  *    partition filter, so Spark lists and reads ONLY those directories —
+  *    the corpus outside them is never opened (asserted in SigStoreSpec).
+  *  - `head/hp=N/` — per-doc head rows `(doc, seq, alive, simhash)`,
+  *    hash-partitioned by DOC. The head's latest seq decides which sig rows
+  *    are live: an UPDATE moves a doc's band buckets between shards, so a
+  *    matched sig row is served only when `seq == head.seq` and the doc is
+  *    alive — stale signatures can never produce a candidate pair. Head
+  *    reads are pruned to the shards of the matched docs.
+  *
+  * Both trees are APPEND-ONLY (a micro-batch writes one small file set; no
+  * read-modify-write), so maintenance rides any ingest path — see
+  * [[maintainFromEvents]], called by the CDC ingest when
+  * `IngestConfig.sigStoreDir` is set. Retried appends (a crash between the
+  * sink commit and the stream checkpoint) at worst duplicate rows with
+  * identical content; reads drop exact duplicates, so convergence holds.
+  *
+  * Semantics contract (proved hash-exact vs the DuckDB full-recompute oracle
+  * by the `dedup_incremental` driver query): `incrementalPairs(batch)` over a
+  * store holding corpus C equals `minHashLshPairs(C ∪ batch)` restricted to
+  * pairs with at least one side in the batch — including the global
+  * bucket-size cap, because every bucket the batch touches is read in full
+  * (store side + batch side), so its observed size equals its full-corpus
+  * size.
+  */
+object SigStore {
+
+  /** `shards` controls the partition fan-out of both trees — at 100 TB scale
+    * raise it so one shard stays executor-sized (it only affects pruning
+    * granularity, never results). Signature parameters mirror
+    * [[TextDedup.minHashLshPairs]] defaults. */
+  final case class Config(
+      shingleLen: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      shards: Int = 64,
+      bucketCap: Int = TextDedup.DefaultBucketCap) {
+    def k: Int = bands * rowsPerBand
+  }
+
+  private def sigDir(dir: String) = s"$dir/sig"
+  private def headDir(dir: String) = s"$dir/head"
+
+  private val sigSchema = StructType(Seq(
+    StructField("doc", StringType), StructField("band", IntegerType),
+    StructField("bucket", StringType), StructField("sig", ArrayType(LongType)),
+    StructField("seq", LongType), StructField("sp", IntegerType)))
+  private val headSchema = StructType(Seq(
+    StructField("doc", StringType), StructField("seq", LongType),
+    StructField("alive", BooleanType), StructField("simhash", LongType),
+    StructField("hp", IntegerType)))
+
+  private def shardOf(c: Column, shards: Int): Column =
+    pmod(xxhash64(c), lit(shards)).cast("int")
+
+  /** Banded signature rows of a (doc, text) frame:
+    * (doc, band, bucket, sig) — bucket built EXACTLY as in
+    * [[TextDedup.minHashLshPairs]] so store-joined pairs agree bit-for-bit
+    * with a full recompute (and with the DuckDB oracle). */
+  private def banded(docs: DataFrame, doc: Column, text: Column, cfg: Config): DataFrame = {
+    val r = cfg.rowsPerBand
+    val withSig = docs.select(doc.cast("string").as("doc"),
+      TextDedup.minHashSignatureFromHashes(
+        TextDedup.shingleHashes(text, cfg.shingleLen), cfg.k).as("sig"))
+    withSig.select(col("doc"), col("sig"),
+      explode(transform(sequence(lit(0), lit(cfg.bands - 1)),
+        b => struct(b.cast("int").as("band"),
+          concat_ws("|", b.cast("string"), concat_ws(",",
+            transform(slice(col("sig"), b * r + 1, lit(r)),
+              x => x.cast("string")))).as("bucket")))).as("bb"))
+      .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("sig"))
+  }
+
+  private def readOrEmpty(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+      spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Append signature + head rows for UPSERTED docs. `docs` must carry at
+    * most one row per doc (LWW-deduped upstream — the ingest payload already
+    * is). One scan, two small writes; no shuffle beyond the partitioned
+    * write's fan-out. */
+  def appendUpserts(dir: String, docs: DataFrame,
+      doc: Column, text: Column, seq: Column, cfg: Config): Unit = {
+    val d = docs.select(doc.cast("string").as("doc"), text.as("text"), seq.cast("long").as("seq"))
+    banded(d, col("doc"), col("text"), cfg)
+      .join(d.select(col("doc"), col("seq")), Seq("doc"))
+      .withColumn("sp", shardOf(col("bucket"), cfg.shards))
+      .write.mode("append").partitionBy("sp").parquet(sigDir(dir))
+    d.select(col("doc"), col("seq"), lit(true).as("alive"),
+        VecExprs.simHashSketch(
+          VecExprs.shingleH62(split(col("text"), "\\s+"), col("text"), cfg.shingleLen))
+          .as("simhash"))
+      .withColumn("hp", shardOf(col("doc"), cfg.shards))
+      .write.mode("append").partitionBy("hp").parquet(headDir(dir))
+  }
+
+  /** Append head tombstones for DELETED docs (their sig rows become
+    * unreachable — `incrementalPairs` serves only alive head-seq rows). */
+  def appendDeletes(dir: String, docs: DataFrame, doc: Column, seq: Column, cfg: Config): Unit =
+    docs.select(doc.cast("string").as("doc"), seq.cast("long").as("seq"),
+        lit(false).as("alive"), lit(null).cast("long").as("simhash"))
+      .withColumn("hp", shardOf(col("doc"), cfg.shards))
+      .write.mode("append").partitionBy("hp").parquet(headDir(dir))
+
+  /** Maintain the store from one CDC micro-batch of RAW change events
+    * (`repo`,`path`,`op`,`seq`,`after`): the batch is LWW-deduped here
+    * (one winner per key, mirroring the table's per-batch semantics — an
+    * intermediate in-batch version never lands in the table, so it must not
+    * land in the store either). Winners that CARRY content re-sign the doc;
+    * updates that did not carry `content` left it unchanged, so their
+    * signature (and head seq) stay put; deletes tombstone the head. Doc key
+    * = `repo/path`. Append-only + head-seq resolution make this idempotent
+    * and re-delivery-tolerant: a replayed old event appends rows below the
+    * head seq, which reads never serve. */
+  def maintainFromEvents(dir: String, events: DataFrame, cfg: Config): Unit = {
+    val lww = events
+      .groupBy(col("repo"), col("path"))
+      .agg(max_by(struct(col("op"), col("seq"), col("after")), col("seq")).as("_w"))
+      .select(col("repo"), col("path"),
+        col("_w.op").as("op"), col("_w.seq").as("seq"), col("_w.after").as("after"))
+      .persist() // three write actions below share the one dedup shuffle
+    try {
+      val key = concat_ws("/", col("repo"), col("path"))
+      val ups = lww.filter(col("op") =!= graft.model.Ops.Delete &&
+        col("after.content").isNotNull)
+      appendUpserts(dir, ups, key, col("after.content"), col("seq"), cfg)
+      val dels = lww.filter(col("op") === graft.model.Ops.Delete)
+      appendDeletes(dir, dels, key, col("seq"), cfg)
+    } finally lww.unpersist(blocking = false)
+  }
+
+  /** The sig shards a batch's LSH buckets hash into — exactly the store
+    * directories [[incrementalPairs]] will read (exposed for tests and for
+    * capacity planning: |shards touched| / shards bounds the read fraction). */
+  def batchShards(batch: DataFrame, doc: Column, text: Column, cfg: Config): Set[Int] =
+    banded(batch, doc, text, cfg)
+      .select(shardOf(col("bucket"), cfg.shards).as("sp")).distinct()
+      .collect().map(_.getInt(0)).toSet
+
+  /** Candidate near-dup pairs of `batch` against the store (and within the
+    * batch), WITHOUT scanning the corpus: cost is O(batch × matched shards).
+    * Batch docs replace their own store rows (update semantics). Returns
+    * (id_a, id_b, est_jaccard) with id_a < id_b (as strings), est ≥ minEst,
+    * at least one side in the batch; materialized (safe to delete nothing —
+    * the caller may drop temp stores after this returns). */
+  def incrementalPairs(spark: SparkSession, dir: String, batch: DataFrame,
+      doc: Column, text: Column, cfg: Config, minEst: Double): DataFrame = {
+    val k = cfg.k
+    val nb = banded(batch, doc, text, cfg).persist()
+    try {
+      // the batch's buckets and their shards — small by contract
+      // (|batch| × bands rows); two driver-side lists drive the pruning
+      val bucketShards = nb.select(col("bucket"),
+        shardOf(col("bucket"), cfg.shards).as("sp")).distinct().persist()
+      val sps = bucketShards.select(col("sp")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      // partition-pruned store scan: `sp` is a PARTITION column, so the
+      // filter prunes directories at planning time — only shards containing
+      // a batch bucket are listed/read (asserted via inputFiles in the spec)
+      val matched = readOrEmpty(spark, sigDir(dir), sigSchema)
+        .filter(col("sp").isin(sps: _*))
+        .join(broadcast(bucketShards.select(col("bucket"))), Seq("bucket"), "left_semi")
+      // staleness resolution: serve a sig row only at the doc's head seq and
+      // only while alive (updates move buckets between shards; the head is
+      // the single source of truth). Head read pruned to matched-doc shards.
+      val matchedDocs = matched
+        .select(col("doc"), shardOf(col("doc"), cfg.shards).as("hp")).distinct().persist()
+      val hps = matchedDocs.select(col("hp")).distinct().collect().map(_.getInt(0)).toSeq
+      val head = readOrEmpty(spark, headDir(dir), headSchema)
+        .filter(col("hp").isin(hps: _*))
+        .groupBy(col("doc"))
+        .agg(max_by(struct(col("seq"), col("alive")), col("seq")).as("h"))
+        .select(col("doc"), col("h.seq").as("head_seq"), col("h.alive").as("head_alive"))
+      val live = matched.join(head, Seq("doc"))
+        .filter(col("head_alive") && col("seq") === col("head_seq"))
+        // exact-duplicate retry copies (append-only store) collapse here;
+        // rows per (doc, band) are identical at the head seq by construction
+        .dropDuplicates(Seq("doc", "band"))
+      // batch docs REPLACE their store rows; union carries a side tag
+      val storeSide = live
+        .join(broadcast(nb.select(col("doc")).distinct()), Seq("doc"), "left_anti")
+        .select(col("doc"), col("band"), col("bucket"), col("sig"))
+      val u = storeSide.withColumn("is_new", lit(false))
+        .unionByName(nb.select(col("doc"), col("band"), col("bucket"), col("sig"))
+          .withColumn("is_new", lit(true)))
+        .persist()
+      try {
+        // global cap, observed locally: every batch-touched bucket is read in
+        // full, so its size here equals its full-corpus size (mirrors
+        // TextDedup.dropOversizedBuckets — broadcast anti-join, no window)
+        val oversized = u.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > cfg.bucketCap).select(col("bucket"))
+        val capped = u.join(broadcast(oversized), Seq("bucket"), "left_anti")
+        val a = capped.alias("a"); val b = capped.alias("b")
+        val est = VecExprs.eqCount(col("a.sig"), col("b.sig")).cast("double") / lit(k)
+        val pairs = a.join(b, col("a.bucket") === col("b.bucket") &&
+            col("a.doc") < col("b.doc") && (col("a.is_new") || col("b.is_new")))
+          .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"), est.as("est_jaccard"))
+          .distinct()
+          .filter(col("est_jaccard") >= minEst)
+        pairs.localCheckpoint(true)
+      } finally {
+        u.unpersist(blocking = false)
+        matchedDocs.unpersist(blocking = false)
+        bucketShards.unpersist(blocking = false)
+      }
+    } finally nb.unpersist(blocking = false)
+  }
+}

@@ -54,6 +54,12 @@ object StreamIngest {
         * unlike the reference (whose stopped rules simply miss events). */
       pauseMarkerAtBoundary: Option[java.nio.file.Path] = None): StreamingQuery = {
 
+    // Bounded catch-up replays don't schedule cadence folds (suppressed at
+    // the tick below) and end in a full fold that self-heals the histogram,
+    // so the per-batch histogram Observation is pure overhead there —
+    // measured ~15% of bulk-stream wall at 64 buckets (BENCH r6 A/B).
+    val effCfg = if (availableNow) cfg.copy(morBatchHistogram = false) else cfg
+
     val raw = ChangeLog.readStream(spark, logDir, maxFilesPerTrigger)
     val events = dedupWithinWatermark match {
       case Some(delay) =>
@@ -77,13 +83,21 @@ object StreamIngest {
           throw new StreamIngest.GracefulStopException
         if (pauseMarkerAtBoundary.exists(java.nio.file.Files.exists(_)))
           throw new StreamIngest.GracefulPauseException
-        Ingest.applyBatch(table, batch, batchId, cfg)
+        Ingest.applyBatch(table, batch, batchId, effCfg)
         // MOR compaction cadence: fold is idempotent and fenced like any
         // commit, so a crash-retry of this batch at worst re-folds a no-op.
         // Async by default — compaction overlaps the next micro-batches
         // instead of stalling the trigger loop (failures surface at the
         // next tick or at drain).
-        if (cfg.morMode && cfg.morFoldEvery > 0 && batchId > 0 &&
+        //
+        // SUPPRESSED under Trigger.AvailableNow: cadence folds exist to bound
+        // READ amplification on a steady tail; a bounded catch-up replay ends
+        // anyway, and every bucket keeps receiving events throughout, so each
+        // mid-replay fold rewrites base files the next fold (or the final
+        // explicit `fold`) rewrites again — measured +23% wall on the 2M-event
+        // bulk stream (interleaved A/B vs the fold-at-end binary, BENCH r6).
+        // Write amp per bucket is O(events/foldThreshold) folds vs exactly 1.
+        if (cfg.morMode && cfg.morFoldEvery > 0 && !availableNow && batchId > 0 &&
             batchId % cfg.morFoldEvery == 0) {
           if (cfg.morFoldAsync)
             graft.ingest.MorFolds.submit(table.spark, tableDir, cfg.morFoldMinEventsPerBucket)
@@ -149,8 +163,10 @@ object StreamIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val shared = if (tables.size > 1) batch.persist() else batch
+        // bounded catch-up: same per-batch-histogram suppression as start()
         try tables.foreach { case (rule, table) =>
-          Ingest.applyBatch(table, shared, batchId, rule.cfg)
+          Ingest.applyBatch(table, shared, batchId,
+            rule.cfg.copy(morBatchHistogram = false))
         } finally {
           if (tables.size > 1) { shared.unpersist(blocking = false); () }
         }

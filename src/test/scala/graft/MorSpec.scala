@@ -118,20 +118,35 @@ class MorSpec extends AnyFunSuite {
       .map(x => x.getString(0) -> x.getString(1)).toMap
     (0 until 100).foreach(id => assert(contents(s"f$id") === s"v${id + 1000}"))
 
-    // the STREAMING path (fused applyBatchMor, its own observation) must
+    // the fused MOR batch path (applyBatchMor, its own observation) must
     // keep the histogram exact too — the round-5 CLI drive caught a stale
     // Some(empty) here when only the manual appendDelta path carried it
     val logDir = TestSpark.tmpDir("graft-mor-hist-log")
     ChangeLog.write(ChangelogGen.events(spark, cfg), logDir, segmentsPerPartition = 2)
     val sDir = TestSpark.tmpDir("graft-mor-hist-stream")
     LakeTable.create(spark, sDir, numBuckets = 8)
-    StreamIngest.runAvailable(spark, logDir, sDir, TestSpark.tmpDir("graft-mor-hist-ck"),
-      maxFilesPerTrigger = 4, cfg = Ingest.IngestConfig(morMode = true))
+    Ingest.applyBatch(LakeTable.load(spark, sDir), ChangeLog.readDF(spark, logDir),
+      batchId = 0L, cfg = Ingest.IngestConfig(morMode = true))
     val st = LakeTable.load(spark, sDir)
     val sh = st.snapshot.flatDeltaHist
-    assert(sh.isDefined, "streaming appends must carry the histogram")
-    assert(sh.get === recount(st), "streaming histogram must equal an actual scan")
+    assert(sh.isDefined, "fused MOR batches must carry the histogram")
+    assert(sh.get === recount(st), "fused-path histogram must equal an actual scan")
     assert(sh.get.values.sum === st.snapshot.deltaRows)
+
+    // bounded catch-up replays (AvailableNow) SUPPRESS the per-batch
+    // histogram (pure overhead there — no cadence folds to schedule), so
+    // their appends poison it to UNKNOWN; the final fold heals it to
+    // exact-empty, restoring zero-job scheduling for a tail that resumes
+    val aDir = TestSpark.tmpDir("graft-mor-hist-an")
+    LakeTable.create(spark, aDir, numBuckets = 8)
+    StreamIngest.runAvailable(spark, logDir, aDir, TestSpark.tmpDir("graft-mor-hist-ck"),
+      maxFilesPerTrigger = 4, cfg = Ingest.IngestConfig(morMode = true))
+    val at = LakeTable.load(spark, aDir)
+    assert(at.snapshot.flatDeltaHist === None,
+      "AvailableNow appends record UNKNOWN (scan fallback), not a wrong exact value")
+    Mor.fold(at)
+    assert(at.refresh().flatDeltaHist === Some(Map.empty),
+      "the final fold heals the suppressed histogram to exact-empty")
   }
 
   test("bucket-localized delta log: labels in the manifest, file-group pruned partial folds") {
@@ -316,13 +331,28 @@ class MorSpec extends AnyFunSuite {
   }
 
   test("auto-fold cadence: morFoldEvery bounds the delta backlog and still converges") {
+    // cadence folds are a CONTINUOUS-TAIL feature (suppressed under
+    // AvailableNow, where fold-at-end does strictly less base rewriting —
+    // see StreamIngest.start), so this drives a live tail and stops it.
     val logDir = TestSpark.tmpDir("graft-morf-log")
     val tableDir = TestSpark.tmpDir("graft-morf-table")
     ChangeLog.write(ChangelogGen.events(spark, cfg), logDir, segmentsPerPartition = 4)
     LakeTable.create(spark, tableDir, numBuckets = 8)
-    StreamIngest.runAvailable(spark, logDir, tableDir, TestSpark.tmpDir("graft-morf-ck"),
-      maxFilesPerTrigger = 4, cfg = Ingest.IngestConfig(morMode = true, morFoldEvery = 2))
+    val expectedFence = ChangeLog.readDF(spark, logDir)
+      .groupBy(col("partition")).agg(max(col("offset")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tailThread = new Thread(() =>
+      StreamIngest.tail(spark, logDir, tableDir, TestSpark.tmpDir("graft-morf-ck"),
+        maxFilesPerTrigger = 4, cfg = Ingest.IngestConfig(morMode = true, morFoldEvery = 2)))
+    tailThread.start()
+    val deadline = System.nanoTime() + 120e9.toLong
+    while (LakeTable.load(spark, tableDir).snapshot.fence != expectedFence &&
+        System.nanoTime() < deadline) Thread.sleep(250)
+    StreamIngest.requestStop(tableDir)
+    tailThread.join(60000)
+    assert(!tailThread.isAlive, "tail must stop at the batch boundary")
     val t = LakeTable.load(spark, tableDir)
+    assert(t.snapshot.fence === expectedFence, "tail must consume the whole log")
     assert(t.snapshot.files.nonEmpty, "auto-fold must have produced base files")
     assert(t.snapshot.metrics.getOrElse("morFolds", 0L) >= 1L, "at least one fold ran")
     val oracle = Oracle.contentSha(Oracle.replay(ChangelogGen.eventsLocal(cfg)))

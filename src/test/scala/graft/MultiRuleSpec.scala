@@ -100,6 +100,50 @@ class MultiRuleSpec extends AnyFunSuite {
     assert(shaSet(LakeTable.load(spark, dirMor)) === oracle, "post-fold too")
   }
 
+  test("continuous tailRules: TWO MOR rules with async cadence folds compose and converge bit-exactly") {
+    // N rules × async folds: each rule's cadence fold runs on its own
+    // per-table daemon worker (MorFolds) while the shared stream keeps
+    // consuming; stop drains every rule's in-flight fold. Cadence folds are
+    // a live-tail feature, so this drives tailRules (ProcessingTime), not
+    // the AvailableNow paths (which suppress them by design).
+    val logDir = TestSpark.tmpDir("graft-mrf-log")
+    val dirA = TestSpark.tmpDir("graft-mrf-a")
+    val dirB = TestSpark.tmpDir("graft-mrf-b")
+    val ckpt = TestSpark.tmpDir("graft-mrf-ckpt")
+    ChangeLog.write(ChangelogGen.events(spark, cfg), logDir, segmentsPerPartition = 4)
+    LakeTable.create(spark, dirA, numBuckets = 8)
+    LakeTable.create(spark, dirB, numBuckets = 8)
+    val morCfg = Ingest.IngestConfig(morMode = true, morFoldEvery = 2)
+    val rules = Seq(Rule("ma", dirA, morCfg), Rule("mb", dirB, morCfg))
+    val expectedFence = ChangeLog.readDF(spark, logDir)
+      .groupBy(col("partition")).agg(max(col("offset")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tailThread = new Thread(() =>
+      StreamIngest.tailRules(spark, logDir, rules, ckpt, maxFilesPerTrigger = 2))
+    tailThread.start()
+    val deadline = System.nanoTime() + 180e9.toLong
+    while ((LakeTable.load(spark, dirA).snapshot.fence != expectedFence ||
+        LakeTable.load(spark, dirB).snapshot.fence != expectedFence) &&
+        System.nanoTime() < deadline) Thread.sleep(250)
+    StreamIngest.requestStopRules(ckpt)
+    tailThread.join(60000)
+    assert(!tailThread.isAlive, "tail must stop at the batch boundary")
+    val oracle = Oracle.contentSha(Oracle.replay(ChangelogGen.eventsLocal(cfg)))
+      .map { case ((r, p), (sha, _)) => (r, p, sha) }.toSet
+    val tA = LakeTable.load(spark, dirA)
+    val tB = LakeTable.load(spark, dirB)
+    assert(tA.snapshot.fence === expectedFence && tB.snapshot.fence === expectedFence)
+    assert(tA.snapshot.metrics.getOrElse("morFolds", 0L) >= 1L,
+      "rule A must have run at least one cadence fold")
+    assert(tB.snapshot.metrics.getOrElse("morFolds", 0L) >= 1L,
+      "rule B must have run at least one cadence fold")
+    assert(shaSet(tA) === oracle, "rule A converges through interleaved async folds")
+    assert(shaSet(tB) === oracle, "rule B converges through interleaved async folds")
+    graft.ingest.Mor.fold(tA); graft.ingest.Mor.fold(tB)
+    assert(shaSet(LakeTable.load(spark, dirA)) === oracle, "post-final-fold too")
+    assert(shaSet(LakeTable.load(spark, dirB)) === oracle, "post-final-fold too")
+  }
+
   test("continuous tailRules: pausing ONE rule keeps the others consuming; restart is lossless") {
     // the reference's /rules/{name}/stop + /start (factory_http.go:10-48):
     // one canal, N rules, stop one while the rest keep applying — but unlike
