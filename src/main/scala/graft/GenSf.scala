@@ -69,6 +69,22 @@ object GenSf {
       concat(lit("{\"k\": "), hm("prp", 100L), lit("}")).as("props"))
   }
 
+  /** Single-FILE parquet, matching the shipped testdata shape (the DuckDB
+    * oracle reads `<dir>/<name>.parquet` as one file, not a directory). */
+  private def writeOne(df: DataFrame, path: String): Unit = {
+    val tmp = s"$path.tmpdir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var found: java.nio.file.Path = null
+    while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) found = p }
+    require(found != null, s"no part file under $tmp")
+    java.nio.file.Files.move(found, java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val mult = args(1).toLong
@@ -80,14 +96,12 @@ object GenSf {
       .config("spark.ui.enabled", "false")
       .appName("graft-gensf").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    documents(spark, 5000L * mult).write.mode("overwrite")
-      .parquet(s"$outDir/documents.parquet")
-    embeddings(spark, 2000L * mult).write.mode("overwrite")
-      .parquet(s"$outDir/embeddings.parquet")
-    events(spark, 100000L * mult, 1500L * mult).write.mode("overwrite")
-      .parquet(s"$outDir/events.parquet")
-    spark.read.parquet("/root/testdata/sf0.1/nation.parquet")
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/nation.parquet")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    writeOne(documents(spark, 5000L * mult), s"$outDir/documents.parquet")
+    writeOne(embeddings(spark, 2000L * mult), s"$outDir/embeddings.parquet")
+    writeOne(events(spark, 100000L * mult, 1500L * mult), s"$outDir/events.parquet")
+    writeOne(spark.read.parquet("/root/testdata/sf0.1/nation.parquet"),
+      s"$outDir/nation.parquet")
     println(s"GenSf: wrote mult=$mult tables to $outDir")
     spark.stop()
   }
