@@ -75,6 +75,9 @@ object IvfIndex {
         AnnSearch.l2norm(col("embedding")).as("nrm"), col("seq"),
         element_at(typedlit(cents.map(_._1)),
           VecExprs.argMaxCosBroadcast(col("embedding"), bc) + 1).as("cp"))
+      // one file per touched list per append (not tasks × C): C scales with
+      // the corpus (≥ √N), so the shuffle keeps its parallelism at scale
+      .repartition(col("cp"))
       .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("cp").parquet(listDir(dir))
     bc.unpersist(blocking = false)
@@ -89,13 +92,20 @@ object IvfIndex {
     * partition filter (unprobed list directories are never opened); within
     * the probed lists, LWW on seq per vec_id keeps exactly the newest copy
     * of a re-appended vector. */
-  def listsFor(spark: SparkSession, dir: String, centIds: Seq[Long]): DataFrame =
-    spark.read.parquet(listDir(dir))
-      .filter(col("cp").isin(centIds: _*))
+  def listsFor(spark: SparkSession, dir: String, centIds: Seq[Long]): DataFrame = {
+    // explicit probed-list paths: even the file LISTING is O(probed lists) —
+    // a root read would discover all C list directories first, and C scales
+    // with the corpus
+    val paths = centIds.map(c => s"${listDir(dir)}/cp=$c")
+      .filter(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+    val scan = if (paths.isEmpty) spark.read.parquet(listDir(dir)).limit(0)
+      else spark.read.option("basePath", listDir(dir)).parquet(paths: _*)
+    scan
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("embedding"), col("nrm"), col("cp")), col("seq")).as("_w"))
       .select(col("vec_id"), col("_w.embedding").as("embedding"),
         col("_w.nrm").as("nrm"), col("_w.cp").as("cent_id"))
+  }
 
   /** Top-k cosine neighbors of each query vector, probing `nProbe` lists per
     * query — reads ONLY the persisted index. Ranking is by the ROUNDED

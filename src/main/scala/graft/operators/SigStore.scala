@@ -89,10 +89,18 @@ object SigStore {
       .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("sig"))
   }
 
-  private def readOrEmpty(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
-      spark.read.schema(schema).parquet(dir)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  /** Read ONLY the named shard directories (explicit paths + basePath), so
+    * even the file LISTING is O(matched shards): a plain `parquet(root)` read
+    * discovers the whole tree before partition pruning — at 10^3..10^5 shard
+    * dirs that listing alone dwarfs a small batch's real work. */
+  private def readShards(spark: SparkSession, dir: String, pcol: String,
+      ids: Seq[Int], schema: StructType): DataFrame = {
+    val paths = ids.map(i => s"$dir/$pcol=$i")
+      .filter(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.option("basePath", dir).schema(schema).parquet(paths: _*)
+  }
 
   /** Append signature + head rows for UPSERTED docs. `docs` must carry at
     * most one row per doc (LWW-deduped upstream — the ingest payload already
@@ -101,15 +109,21 @@ object SigStore {
   def appendUpserts(dir: String, docs: DataFrame,
       doc: Column, text: Column, seq: Column, cfg: Config): Unit = {
     val d = docs.select(doc.cast("string").as("doc"), text.as("text"), seq.cast("long").as("seq"))
+    // repartition by the shard column first: each touched shard receives
+    // exactly ONE file per append (without it, every write task fans out to
+    // every shard dir — tasks × shards small files per append, and the
+    // store's file count, not its row count, becomes the read bottleneck)
     banded(d, col("doc"), col("text"), cfg)
       .join(d.select(col("doc"), col("seq")), Seq("doc"))
       .withColumn("sp", shardOf(col("bucket"), cfg.shards))
+      .repartition(col("sp"))
       .write.mode("append").partitionBy("sp").parquet(sigDir(dir))
     d.select(col("doc"), col("seq"), lit(true).as("alive"),
         VecExprs.simHashSketch(
           VecExprs.shingleH62(split(col("text"), "\\s+"), col("text"), cfg.shingleLen))
           .as("simhash"))
       .withColumn("hp", shardOf(col("doc"), cfg.shards))
+      .repartition(col("hp"))
       .write.mode("append").partitionBy("hp").parquet(headDir(dir))
   }
 
@@ -119,6 +133,7 @@ object SigStore {
     docs.select(doc.cast("string").as("doc"), seq.cast("long").as("seq"),
         lit(false).as("alive"), lit(null).cast("long").as("simhash"))
       .withColumn("hp", shardOf(col("doc"), cfg.shards))
+      .repartition(col("hp"))
       .write.mode("append").partitionBy("hp").parquet(headDir(dir))
 
   /** Maintain the store from one CDC micro-batch of RAW change events
@@ -173,11 +188,10 @@ object SigStore {
         shardOf(col("bucket"), cfg.shards).as("sp")).distinct().persist()
       val sps = bucketShards.select(col("sp")).distinct()
         .collect().map(_.getInt(0)).toSeq
-      // partition-pruned store scan: `sp` is a PARTITION column, so the
-      // filter prunes directories at planning time — only shards containing
-      // a batch bucket are listed/read (asserted via inputFiles in the spec)
-      val matched = readOrEmpty(spark, sigDir(dir), sigSchema)
-        .filter(col("sp").isin(sps: _*))
+      // shard-pruned store scan: ONLY the matched shard directories are even
+      // LISTED (explicit paths), let alone read (asserted via inputFiles in
+      // the spec) — the corpus outside them never costs a stat call
+      val matched = readShards(spark, sigDir(dir), "sp", sps, sigSchema)
         .join(broadcast(bucketShards.select(col("bucket"))), Seq("bucket"), "left_semi")
       // staleness resolution: serve a sig row only at the doc's head seq and
       // only while alive (updates move buckets between shards; the head is
@@ -185,8 +199,7 @@ object SigStore {
       val matchedDocs = matched
         .select(col("doc"), shardOf(col("doc"), cfg.shards).as("hp")).distinct().persist()
       val hps = matchedDocs.select(col("hp")).distinct().collect().map(_.getInt(0)).toSeq
-      val head = readOrEmpty(spark, headDir(dir), headSchema)
-        .filter(col("hp").isin(hps: _*))
+      val head = readShards(spark, headDir(dir), "hp", hps, headSchema)
         .groupBy(col("doc"))
         .agg(max_by(struct(col("seq"), col("alive")), col("seq")).as("h"))
         .select(col("doc"), col("h.seq").as("head_seq"), col("h.alive").as("head_alive"))
