@@ -124,6 +124,20 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
+    // GRAFT_BENCH_QUERIES_ONLY=1: stop after the operator queries — for
+    // large-SF corpus runs where the CDC leg (nEvents ∝ sf) would dwarf them
+    if (sys.env.contains("GRAFT_BENCH_QUERIES_ONLY")) {
+      val qs0 = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      val line0 =
+        s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs0,"sf":"$sfDir","cores":$cpus}"""
+      println(line0)
+      val bdir0 = java.nio.file.Paths.get("BENCH")
+      java.nio.file.Files.createDirectories(bdir0)
+      java.nio.file.Files.writeString(bdir0.resolve("bench_last.json"), line0 + "\n")
+      spark.stop()
+      return
+    }
+
     // 2. CDC headline: changelog replay → converged LakeTable.
     // tmpfs work dir, same rationale as ScalingBench: the sandbox's single
     // shared disk is a fixed resource whose day-to-day weather would otherwise

@@ -187,8 +187,11 @@ object IncrementalBench {
       f"rewrite ratio ${oneBucketRows.toDouble / math.max(1L, scatterRows)}%.4f")
 
     // ---- incremental near-dup: batch-vs-store LSH join (SigStore) against
-    //      the full-corpus recompute it must replace at 100 TB ----
-    val sigCorpusN = 100000L; val sigBatchN = 100L
+    //      the full-corpus recompute it must replace at 100 TB. Measured at
+    //      TWO corpus sizes: the claim is the SLOPE (incremental cost stays
+    //      ~flat in the corpus while the full recompute grows linearly), not
+    //      the crossover point, which fixed per-job overhead sets low ----
+    val sigScales = Seq(100000L, 400000L); val sigBatchN = 100L
     // clusters of 4 near-dup docs; the batch re-uses LOW cluster ids with a
     // distinct doc-id prefix, so each batch doc near-dups ~4 store docs
     def sigDocs(n: Long, prefix: String, clusterOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
@@ -199,34 +202,41 @@ object IncrementalBench {
           clusterOf(col("id")).cast("string"),
           lit(" silver coins in the old stone tower v0 variant "),
           (col("id") % 4).cast("string")).as("text"))
-    val sigStoreDir = s"$work/sigstore"
     // shard fan-out must exceed the batch's bucket count for directory
     // pruning to bite (at 100 TB, shards scale with the corpus so the read
     // fraction stays ~|batch buckets| / shards)
     val sigCfg = graft.operators.SigStore.Config(shards = 1024)
-    val sigCorpus = sigDocs(sigCorpusN, "d", _ / 4)
-    val tSig0 = System.nanoTime()
-    graft.operators.SigStore.appendUpserts(sigStoreDir,
-      sigCorpus, col("doc_id"), col("text"), lit(1L), sigCfg)
-    val sigLoadSec = (System.nanoTime() - tSig0) / 1e9
     val sigBatch = sigDocs(sigBatchN, "b", _ / 4)
-    val tSig1 = System.nanoTime()
-    val sigIncrPairs = graft.operators.SigStore.incrementalPairs(spark,
-      sigStoreDir, sigBatch, col("doc_id"), col("text"), sigCfg, minEst = 0.3)
-    val sigIncrN = sigIncrPairs.count()
-    val sigIncrSec = (System.nanoTime() - tSig1) / 1e9
     val sigShards = graft.operators.SigStore.batchShards(sigBatch,
       col("doc_id"), col("text"), sigCfg)
-    val tSig2 = System.nanoTime()
-    val sigFullPairs = graft.functions.TextDedup.minHashLshPairs(
-      sigCorpus.unionByName(sigBatch), "doc_id", "text", minEst = 0.3)
-    val sigFullN = sigFullPairs.count()
-    val sigFullSec = (System.nanoTime() - tSig2) / 1e9
-    println(f"[incr] incremental near-dup: store load ($sigCorpusN docs) $sigLoadSec%5.1f s; " +
-      f"batch of $sigBatchN vs store $sigIncrSec%5.2f s ($sigIncrN pairs, " +
-      f"${sigShards.size}/${sigCfg.shards} shards read); " +
-      f"full recompute $sigFullSec%5.2f s ($sigFullN pairs); " +
-      f"speedup ${sigFullSec / sigIncrSec}%.1f x")
+    val sigRows = sigScales.map { n =>
+      val sigStoreDir = s"$work/sigstore-$n"
+      val sigCorpus = sigDocs(n, "d", _ / 4)
+      val tSig0 = System.nanoTime()
+      graft.operators.SigStore.appendUpserts(sigStoreDir,
+        sigCorpus, col("doc_id"), col("text"), lit(1L), sigCfg)
+      val loadSec = (System.nanoTime() - tSig0) / 1e9
+      val tSig1 = System.nanoTime()
+      val incrPairs = graft.operators.SigStore.incrementalPairs(spark,
+        sigStoreDir, sigBatch, col("doc_id"), col("text"), sigCfg, minEst = 0.3)
+      val incrN = incrPairs.count()
+      val incrSec = (System.nanoTime() - tSig1) / 1e9
+      val tSig2 = System.nanoTime()
+      val fullN = graft.functions.TextDedup.minHashLshPairs(
+        sigCorpus.unionByName(sigBatch), "doc_id", "text", minEst = 0.3).count()
+      val fullSec = (System.nanoTime() - tSig2) / 1e9
+      println(f"[incr] incremental near-dup @ $n docs: store load $loadSec%5.1f s; " +
+        f"batch of $sigBatchN vs store $incrSec%5.2f s ($incrN pairs, " +
+        f"${sigShards.size}/${sigCfg.shards} shards read); " +
+        f"full recompute $fullSec%5.2f s ($fullN pairs); " +
+        f"speedup ${fullSec / incrSec}%.1f x")
+      (n, incrSec, fullSec)
+    }
+    val (sigN1, sigIncr1, sigFull1) = sigRows.head
+    val (sigN2, sigIncr2, sigFull2) = sigRows.last
+    println(f"[incr] near-dup slope ${sigN1}→${sigN2} docs: " +
+      f"incremental ${sigIncr2 / sigIncr1}%.2f x vs full ${sigFull2 / sigFull1}%.2f x " +
+      f"(corpus grew ${sigN2.toDouble / sigN1}%.0f x)")
 
     val line =
       f"""{"baseRows":$nBase,"keysPerBatch":$keysPerBatch,"batches":$nBatches,""" +
@@ -248,9 +258,11 @@ object IncrementalBench {
       f""""partialFoldRewriteRatio":${oneBucketRows.toDouble / math.max(1L, scatterRows)}%.4f,""" +
       f""""prunedReadSec":$prunedReadSec%.2f,"blindReadSec":$blindReadSec%.2f,""" +
       f""""readPruneRatio":${prunedReadSec / blindReadSec}%.3f,""" +
-      f""""sigCorpus":$sigCorpusN,"sigBatch":$sigBatchN,""" +
-      f""""sigIncrementalSec":$sigIncrSec%.2f,"sigFullSec":$sigFullSec%.2f,""" +
-      f""""sigSpeedup":${sigFullSec / sigIncrSec}%.1f,""" +
+      f""""sigBatch":$sigBatchN,""" +
+      f""""sigCorpus1":$sigN1,"sigIncr1Sec":$sigIncr1%.2f,"sigFull1Sec":$sigFull1%.2f,""" +
+      f""""sigCorpus2":$sigN2,"sigIncr2Sec":$sigIncr2%.2f,"sigFull2Sec":$sigFull2%.2f,""" +
+      f""""sigSpeedupAtScale2":${sigFull2 / sigIncr2}%.2f,""" +
+      f""""sigIncrSlope":${sigIncr2 / sigIncr1}%.2f,"sigFullSlope":${sigFull2 / sigFull1}%.2f,""" +
       f""""sigShardsRead":${sigShards.size},"sigShardsTotal":${sigCfg.shards}}"""
     println(line)
     val p = java.nio.file.Paths.get("BENCH")

@@ -182,23 +182,26 @@ object SigStore {
     val k = cfg.k
     val nb = banded(batch, doc, text, cfg).persist()
     try {
-      // the batch's buckets and their shards — small by contract
-      // (|batch| × bands rows); two driver-side lists drive the pruning
-      val bucketShards = nb.select(col("bucket"),
-        shardOf(col("bucket"), cfg.shards).as("sp")).distinct().persist()
-      val sps = bucketShards.select(col("sp")).distinct()
-        .collect().map(_.getInt(0)).toSeq
+      // the batch's buckets — small by contract (≤ |batch| × bands values);
+      // ONE driver collect yields both the shard list (directory pruning)
+      // and the bucket set (the semi-join side)
+      val bs = nb.select(col("bucket"), shardOf(col("bucket"), cfg.shards).as("sp"))
+        .distinct().collect()
+      val sps = bs.map(_.getInt(1)).distinct.toSeq
+      import spark.implicits._
+      val bucketsDF = bs.map(_.getString(0)).distinct.toSeq.toDF("bucket")
       // shard-pruned store scan: ONLY the matched shard directories are even
       // LISTED (explicit paths), let alone read (asserted via inputFiles in
-      // the spec) — the corpus outside them never costs a stat call
+      // the spec) — the corpus outside them never costs a stat call.
+      // Persisted: it feeds both the head-shard collect and the final plan.
       val matched = readShards(spark, sigDir(dir), "sp", sps, sigSchema)
-        .join(broadcast(bucketShards.select(col("bucket"))), Seq("bucket"), "left_semi")
+        .join(broadcast(bucketsDF), Seq("bucket"), "left_semi")
+        .persist()
       // staleness resolution: serve a sig row only at the doc's head seq and
       // only while alive (updates move buckets between shards; the head is
       // the single source of truth). Head read pruned to matched-doc shards.
-      val matchedDocs = matched
-        .select(col("doc"), shardOf(col("doc"), cfg.shards).as("hp")).distinct().persist()
-      val hps = matchedDocs.select(col("hp")).distinct().collect().map(_.getInt(0)).toSeq
+      val hps = matched.select(shardOf(col("doc"), cfg.shards).as("hp")).distinct()
+        .collect().map(_.getInt(0)).toSeq
       val head = readShards(spark, headDir(dir), "hp", hps, headSchema)
         .groupBy(col("doc"))
         .agg(max_by(struct(col("seq"), col("alive")), col("seq")).as("h"))
@@ -233,8 +236,7 @@ object SigStore {
         pairs.localCheckpoint(true)
       } finally {
         u.unpersist(blocking = false)
-        matchedDocs.unpersist(blocking = false)
-        bucketShards.unpersist(blocking = false)
+        matched.unpersist(blocking = false)
       }
     } finally nb.unpersist(blocking = false)
   }
