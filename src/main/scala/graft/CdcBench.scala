@@ -108,16 +108,21 @@ object CdcBench {
         val dirs = (0 until nRules).map(r => s"$work/ruletab-$i-$r-${System.nanoTime()}")
         val ckpt = s"$work/rulesckpt-$i-${System.nanoTime()}"
         dirs.foreach(d => LakeTable.create(spark, d, numBuckets = 64))
+        // fold knobs from the env (GRAFT_MOR_FOLD_*): the fixture has 64k
+        // keys over 64 buckets (~1k winners/bucket/batch), so a production
+        // threshold like 16384 correctly schedules NOTHING (zero-job ticks);
+        // drop it to force cadence folds to actually fire in the datapoint
         val rules = dirs.zipWithIndex.map { case (d, r) =>
           StreamIngest.Rule(s"r$r", d, Ingest.IngestConfig(morMode = true,
-            morFoldEvery = 2, morFoldMinEventsPerBucket = 16384L)) }
+            morFoldEvery = if (foldEvery > 0) foldEvery else 2,
+            morFoldMinEventsPerBucket = foldMin)) }
         val expectedFence = ChangeLog.readDF(spark, logDir)
           .groupBy(org.apache.spark.sql.functions.col("partition"))
           .agg(org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("offset")))
           .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
         val t0 = System.nanoTime()
         val tailThread = new Thread(() =>
-          StreamIngest.tailRules(spark, logDir, rules, ckpt, maxFilesPerTrigger = 16))
+          StreamIngest.tailRules(spark, logDir, rules, ckpt, maxFilesPerTrigger = 4))
         tailThread.start()
         while (dirs.exists(d => LakeTable.load(spark, d).snapshot.fence != expectedFence))
           Thread.sleep(100)
