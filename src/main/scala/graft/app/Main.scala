@@ -79,7 +79,12 @@ object Main {
           .getOrElse(base.morFoldMinEventsPerBucket),
       // GRAFT_MOR_RAW=1: shuffle-free raw appends (skip per-batch LWW dedup;
       // right for low-duplication sources — see IngestConfig.morDedupPerBatch)
-      morDedupPerBatch = !sys.env.get("GRAFT_MOR_RAW").exists(v => v == "1" || v == "true"))
+      morDedupPerBatch = !sys.env.get("GRAFT_MOR_RAW").exists(v => v == "1" || v == "true"),
+      // GRAFT_SIGSTORE=<dir>: maintain a persisted near-dup signature store
+      // alongside the table (SigStore.maintainFromEvents per micro-batch) so
+      // incoming batches can be near-dup-checked in O(batch) via
+      // SigStore.incrementalPairs — no corpus rescan
+      sigStoreDir = sys.env.get("GRAFT_SIGSTORE").filter(_.nonEmpty))
   }
 
   private def dispatch(spark: SparkSession, args: Array[String]): Unit = args(0) match {
@@ -120,7 +125,8 @@ object Main {
       // a whole-log batch replay is trivially "ordered" delivery: the fence
       // may filter (everything at-or-below it was fully applied before)
       val bm = Ingest.replayLog(table, ChangeLog.readDF(spark, logDir),
-        Ingest.IngestConfig(orderedDelivery = true))
+        Ingest.IngestConfig(orderedDelivery = true,
+          sigStoreDir = sys.env.get("GRAFT_SIGSTORE").filter(_.nonEmpty)))
       println(s"replayed: seen=${bm.eventsSeen} applied=${bm.eventsApplied} " +
         s"tombstones=${bm.tombstonesWritten} conflicts=${bm.conflictsLww} " +
         s"deadLetters=${bm.deadLetters} fencedOut=${bm.skippedByFence} ddl=${bm.ddlApplied}")
@@ -257,5 +263,6 @@ object Main {
       |  verify  <logDir> <tableDir>
       |  version
       |env: GRAFT_MOR=0 (opt run/tail back into copy-on-write; merge-on-read is the default),
+      |     GRAFT_SIGSTORE=<dir> (maintain a near-dup signature store from run/tail/replay),
       |     GRAFT_HTTP_PORT=<p> (tail control plane), SPARK_GRAFT_CPUS, GRAFT_PROF""".stripMargin)
 }
