@@ -74,19 +74,24 @@ object SigStore {
   /** Banded signature rows of a (doc, text) frame:
     * (doc, band, bucket, sig) — bucket built EXACTLY as in
     * [[TextDedup.minHashLshPairs]] so store-joined pairs agree bit-for-bit
-    * with a full recompute (and with the DuckDB oracle). */
-  private def banded(docs: DataFrame, doc: Column, text: Column, cfg: Config): DataFrame = {
+    * with a full recompute (and with the DuckDB oracle). `carry` columns of
+    * `docs` ride through narrowly (no join needed to re-attach them). */
+  private def banded(docs: DataFrame, doc: Column, text: Column, cfg: Config,
+      carry: Seq[(String, Column)] = Nil): DataFrame = {
     val r = cfg.rowsPerBand
-    val withSig = docs.select(doc.cast("string").as("doc"),
+    val carried = carry.map { case (n, c) => c.as(n) }
+    val carriedOut = carry.map { case (n, _) => col(n) }
+    val withSig = docs.select(doc.cast("string").as("doc") +: carried :+
       TextDedup.minHashSignatureFromHashes(
-        TextDedup.shingleHashes(text, cfg.shingleLen), cfg.k).as("sig"))
-    withSig.select(col("doc"), col("sig"),
+        TextDedup.shingleHashes(text, cfg.shingleLen), cfg.k).as("sig"): _*)
+    withSig.select((col("doc") +: carriedOut) ++ Seq(col("sig"),
       explode(transform(sequence(lit(0), lit(cfg.bands - 1)),
         b => struct(b.cast("int").as("band"),
           concat_ws("|", b.cast("string"), concat_ws(",",
             transform(slice(col("sig"), b * r + 1, lit(r)),
-              x => x.cast("string")))).as("bucket")))).as("bb"))
-      .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("sig"))
+              x => x.cast("string")))).as("bucket")))).as("bb")): _*)
+      .select((col("doc") +: carriedOut) ++ Seq(
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("sig")): _*)
   }
 
   /** Read ONLY the named shard directories (explicit paths + basePath), so
@@ -112,9 +117,10 @@ object SigStore {
     // repartition by the shard column first: each touched shard receives
     // exactly ONE file per append (without it, every write task fans out to
     // every shard dir — tasks × shards small files per append, and the
-    // store's file count, not its row count, becomes the read bottleneck)
-    banded(d, col("doc"), col("text"), cfg)
-      .join(d.select(col("doc"), col("seq")), Seq("doc"))
+    // store's file count, not its row count, becomes the read bottleneck).
+    // seq rides through banded() narrowly — re-attaching it with a join
+    // would cost a shuffle on EVERY micro-batch of a store-riding ingest.
+    banded(d, col("doc"), col("text"), cfg, carry = Seq("seq" -> col("seq")))
       .withColumn("sp", shardOf(col("bucket"), cfg.shards))
       .repartition(col("sp"))
       .write.mode("append").partitionBy("sp").parquet(sigDir(dir))
