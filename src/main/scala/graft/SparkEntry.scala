@@ -264,12 +264,19 @@ object SparkEntry {
 
   /** Embedding L2 norms (ANN building block): in-order fold over the vector
     * with `aggregate` (codegen'd higher-order function, no UDF). */
+  /** L2 norm, codegen'd `aggregate` fold — on a 1e-6 FIXED-POINT grid: each
+    * x² is rounded to an integer once (per-element double ops are exact IEEE
+    * in any engine) and summed as LONGs, so the fold is order-independent.
+    * A plain double sum is NOT — Spark folds left-to-right while DuckDB's
+    * vectorized SUM accumulates in a different order, and at sf1 one vector
+    * landed a last-ulp difference exactly on a round() tie (5512.5). */
   private def qEmbedNorm(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(
       col("vec_id"),
       size(col("embedding")).cast("long").as("dim"),
-      round(sqrt(aggregate(col("embedding"), lit(0.0),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))) * 10000)
+      round(sqrt(aggregate(col("embedding"), lit(0L),
+        (acc, x) => acc + round(x.cast("double") * x.cast("double") * 1e6)
+          .cast("long")).cast("double") / 1e6) * 10000)
         .cast("long").as("norm_e4"))
 
   /** Brute-force cosine top-k over the embedding column (ANN baseline):
@@ -718,23 +725,47 @@ object SparkEntry {
     val planes = OracleHash.sqlLongListList(
       OracleHash.planeInts(24 * NearDupBands, AnnSearch.MaxDim).map(_.take(AnnSearch.OracleDim)))
     val bandsList = (0 until NearDupBands).mkString("[", ",", "]")
+    // the plane matrix is hoisted into a per-(band,q) CTE row instead of
+    // being indexed inside a doubly-nested lambda: the literal-in-lambda form
+    // made DuckDB grind ~interpreted over rows × bands × bits × dims (3.8 h
+    // unfinished at sf1's 20k vectors); this form computes each bit as a ROW
+    // against a plane COLUMN and rebuilds the bucket with an integer SUM —
+    // value-identical (inner float sum keeps the same per-element order, the
+    // outer sum is over disjoint powers of two), sf1 in seconds
+    // fixed-point norms/dots mirror the Spark side exactly (see
+    // AnnSearch.embedNearDupPairs): per-element product rounded to a 1e-6
+    // grid once, summed as BIGINTs — accumulation-order-independent, so the
+    // rounded cosine can never disagree by a last-ulp tie
     s"""WITH e AS (SELECT vec_id, embedding,
-       |        sqrt(list_dot_product(embedding, embedding)) AS nrm FROM embeddings),
+       |        CAST(list_sum(list_transform(range(1, len(embedding) + 1), i ->
+       |          CAST(round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1e6)
+       |            AS BIGINT))) AS BIGINT) AS n2 FROM embeddings),
        |p AS (SELECT least(24, length(bin(greatest(1, count(*) // 64))))::INT AS bits FROM embeddings),
+       |pl AS (
+       |  SELECT band, q, ($planes)[band*bits + q + 1] AS plane
+       |  FROM p, unnest($bandsList) AS t(band), unnest(range(0, bits)) AS r(q)),
+       |bitrows AS (
+       |  SELECT e.vec_id, pl.band,
+       |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+       |           e.embedding[i] * (pl.plane[i] / 100000.0 - 0.5))) > 0
+       |         THEN (1::BIGINT << pl.q) ELSE 0 END AS b
+       |  FROM e, pl),
        |sk AS (
-       |  SELECT vec_id, embedding, nrm, band,
-       |    list_sum(list_transform(range(0, bits), q ->
-       |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), i ->
-       |             embedding[i] * (($planes)[band*bits + q + 1][i] / 100000.0 - 0.5))) > 0
-       |           THEN (1::BIGINT << q) ELSE 0 END))::BIGINT AS bucket
-       |  FROM e, p, unnest($bandsList) AS t(band)),
+       |  SELECT e.vec_id, e.embedding, e.n2, s.band, s.bucket
+       |  FROM e JOIN (SELECT vec_id, band, sum(b)::BIGINT AS bucket
+       |               FROM bitrows GROUP BY vec_id, band) s USING (vec_id)),
        |capped AS (
        |  SELECT * FROM sk
-       |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= ${TextDedup.DefaultBucketCap})
-       |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-       |       CAST(round(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_e4
-       |FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |WHERE CAST(round(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) * 10000) AS BIGINT) >= 4000""".stripMargin
+       |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= ${TextDedup.DefaultBucketCap}),
+       |scored AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    CAST(round(CAST(CAST(list_sum(list_transform(range(1, len(a.embedding) + 1), i ->
+       |        CAST(round(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * 1e6)
+       |          AS BIGINT))) AS BIGINT) AS DOUBLE)
+       |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) * 10000) AS BIGINT) AS cos_e4
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cos_e4 FROM scored WHERE cos_e4 >= 4000""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -897,7 +928,9 @@ object SparkEntry {
 
     "embed_norm" ->
       """SELECT vec_id, len(embedding) AS dim,
-        |       CAST(round(sqrt(sum(x * x)) * 10000) AS BIGINT) AS norm_e4
+        |       CAST(round(sqrt(CAST(sum(CAST(round(
+        |         CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e6) AS BIGINT))
+        |         AS DOUBLE) / 1e6) * 10000) AS BIGINT) AS norm_e4
         |FROM (SELECT vec_id, embedding, unnest(embedding) AS x FROM embeddings)
         |GROUP BY vec_id, len(embedding)""".stripMargin,
 

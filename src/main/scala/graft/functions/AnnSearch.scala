@@ -219,8 +219,16 @@ object AnnSearch {
     require(bands >= 1 && bitsPerBand >= 1)
     val sketches = array((0 until bands).map(b =>
       hyperplaneSketchAt(col(vecCol), bitsPerBand, b * bitsPerBand, planeDim)): _*)
+    // FIXED-POINT norms/dots (1e-6 grid): each per-element product is rounded
+    // to an integer once (exact IEEE in any engine) and summed as LONGs, so
+    // the reported cosine is bit-identical regardless of accumulation order.
+    // A double fold is not: Spark folds left-to-right, DuckDB's
+    // list_dot_product accumulates differently, and at 20k vectors two pairs
+    // landed a last-ulp difference exactly on a round() tie of cos_e4.
+    val n2 = aggregate(col(vecCol), lit(0L), (acc, x) =>
+      acc + round(x.cast("double") * x.cast("double") * 1e6).cast("long"))
     val banded = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"),
-        l2norm(col(vecCol)).as("nrm"), posexplode(sketches))
+        n2.as("n2"), posexplode(sketches))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     // degenerate-bucket cap per (band, bucket): broadcast anti-join of the
     // (tiny) oversized key set — never a window over the skewed bucket key
@@ -235,9 +243,15 @@ object AnnSearch {
     val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vid") < col("b.vid"))
-      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-        round(cosineWithNorms(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")) * 10000)
-          .cast("long").as("cos_e4"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"), {
+        val qdot = aggregate(
+          zip_with(col("a.v"), col("b.v"), (x, y) =>
+            round(x.cast("double") * y.cast("double") * 1e6).cast("long")),
+          lit(0L), (acc, x) => acc + x)
+        round(qdot.cast("double") /
+            sqrt(col("a.n2").cast("double") * col("b.n2").cast("double")) * 10000)
+          .cast("long").as("cos_e4")
+      })
       .distinct() // a pair meeting in several bands reports once
       .filter(col("cos_e4") >= minCosE4)
     NearDupResult(pairs, dropped)
