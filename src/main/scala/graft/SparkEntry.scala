@@ -628,15 +628,29 @@ object SparkEntry {
     import graft.functions.{AnnSearch, OracleHash}
     val planes = OracleHash.sqlLongListList(
       OracleHash.planeInts(maxBits, AnnSearch.MaxDim).map(_.take(AnnSearch.OracleDim)))
+    // plane rows hoisted into a per-q CTE instead of indexing the matrix
+    // literal inside a doubly-nested lambda — the literal-in-lambda form made
+    // DuckDB grind ~interpreted over rows × bits × dims (ann_lsh_topk sat
+    // >10 min at sf1's 20k vectors); this computes each bit as a ROW against
+    // a plane COLUMN and rebuilds the bucket with an integer SUM over
+    // disjoint powers of two — value-identical (the inner float sum keeps the
+    // same per-element order), sf1 in seconds. Same fix, same reasoning as
+    // embedNearDupOracleSql below.
     s"""WITH e AS (SELECT vec_id, embedding,
        |        sqrt(list_dot_product(embedding, embedding)) AS nrm FROM embeddings),
+       |pl AS (
+       |  SELECT q, ($planes)[q + 1] AS plane
+       |  FROM unnest(range(0, $bitsSql)) AS r(q)),
+       |bitrows AS (
+       |  SELECT e.vec_id,
+       |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+       |           e.embedding[i] * (pl.plane[i] / 100000.0 - 0.5))) > 0
+       |         THEN (1::BIGINT << pl.q) ELSE 0 END AS b
+       |  FROM e, pl),
        |sk AS (
-       |  SELECT vec_id, embedding, nrm,
-       |    list_sum(list_transform(range(0, $bitsSql), q ->
-       |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), i ->
-       |             embedding[i] * (($planes)[q+1][i] / 100000.0 - 0.5))) > 0
-       |           THEN (1::BIGINT << q) ELSE 0 END))::BIGINT AS bucket
-       |  FROM e)""".stripMargin
+       |  SELECT e.vec_id, e.embedding, e.nrm, s.bucket
+       |  FROM e JOIN (SELECT vec_id, sum(b)::BIGINT AS bucket
+       |               FROM bitrows GROUP BY vec_id) s USING (vec_id))""".stripMargin
   }
 
   private def annLshOracleSql: String = {
