@@ -82,6 +82,44 @@ object Bench {
   private def sync(): Unit =
     try { new ProcessBuilder("sync").start().waitFor(); () } catch { case _: Throwable => }
 
+  /** Time the store-backed operators' two halves separately: BUILD the
+    * persisted store/index once (corpus-sized, train-once at steady state),
+    * then PROBE it (the per-batch cost a pipeline actually pays). Same data
+    * split and parameters as the corresponding SparkEntry queries. */
+  def storeSplits(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{IvfIndex, SigStore}
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val store = SparkEntry.scratchDir("graft-bench-sigstore")
+    try {
+      val cfg = SigStore.Config(shingleLen = 3, bands = 4, rowsPerBand = 4)
+      out += "sigstore_build_sec" -> timed(
+        SigStore.appendUpserts(store, docs.filter(col("doc_id") % 10 =!= 0),
+          col("doc_id"), col("text"), lit(1L), cfg))
+      out += "sigstore_probe_sec" -> timed {
+        SigStore.incrementalPairs(spark, store,
+          docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"),
+          cfg, minEst = 0.25).count(); ()
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = SparkEntry.scratchDir("graft-bench-ivf")
+    try {
+      out += "ivf_build_sec" -> timed(
+        IvfIndex.build(idx, emb, col("vec_id"), col("embedding"),
+          IvfIndex.Config(16, 2)))
+      out += "ivf_probe_sec" -> timed {
+        IvfIndex.topK(spark, idx, emb.filter(col("vec_id") < 8),
+          col("vec_id"), col("embedding"), nProbe = 2, k = 3).count(); ()
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+    out.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -124,12 +162,19 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
+    // 1b. build-vs-probe splits for the store-backed operators: their
+    // queries-map numbers above include the one-time store/index BUILD
+    // (the query is self-contained by design); at steady state a pipeline
+    // pays only the probe side per batch, so report both halves.
+    val splits = storeSplits(spark, sfDir)
+    val splitsJson = splits.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+
     // GRAFT_BENCH_QUERIES_ONLY=1: stop after the operator queries — for
     // large-SF corpus runs where the CDC leg (nEvents ∝ sf) would dwarf them
     if (sys.env.contains("GRAFT_BENCH_QUERIES_ONLY")) {
       val qs0 = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       val line0 =
-        s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs0,"sf":"$sfDir","cores":$cpus}"""
+        s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs0,"splits":$splitsJson,"sf":"$sfDir","cores":$cpus}"""
       println(line0)
       val bdir0 = java.nio.file.Paths.get("BENCH")
       java.nio.file.Files.createDirectories(bdir0)
@@ -170,7 +215,7 @@ object Bench {
     // stream_* = the DEFAULT streaming path (merge-on-read; VERDICT r5 #2/#4);
     // stream_mor_* kept as aliases for cross-round comparability
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"splits":$splitsJson,"sf":"$sfDir",""" +
       s""""cdc":{"events":${cfg.nEvents},"ddl":${cfg.nEvents / math.max(1L, cfg.ddlEvery)},""" +
       s""""replay_sec":$batchSec,"replay_cold_sec":$batchColdSec,""" +
       s""""events_per_sec":${evps.toLong},""" +

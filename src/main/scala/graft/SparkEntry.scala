@@ -274,9 +274,8 @@ object SparkEntry {
     t(s, dir, "embeddings").select(
       col("vec_id"),
       size(col("embedding")).cast("long").as("dim"),
-      round(sqrt(aggregate(col("embedding"), lit(0L),
-        (acc, x) => acc + round(x.cast("double") * x.cast("double") * 1e6)
-          .cast("long")).cast("double") / 1e6) * 10000)
+      round(sqrt(graft.functions.VecExprs.fixedDotE6(col("embedding"), col("embedding"))
+          .cast("double") / 1e6) * 10000)
         .cast("long").as("norm_e4"))
 
   /** Brute-force cosine top-k over the embedding column (ANN baseline):
@@ -320,11 +319,23 @@ object SparkEntry {
     * restricted to pairs with a batch side (the DuckDB oracle) bit-for-bit.
     * Orientation is normalized numerically (the store keys docs as strings;
     * string '<' disagrees with numeric '<' on multi-digit ids). */
+  /** Scratch dir for the per-invocation temp stores the store-backed queries
+    * build (SigStore / IvfIndex): tmpfs when available — the store build is a
+    * one-time cost the query pays only for self-containment, and routing it
+    * through the sandbox's single shared disk adds write-back stalls that say
+    * nothing about the operator (same rationale as Bench's tmpfs work dir). */
+  private[graft] def scratchDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    (if (java.nio.file.Files.isDirectory(shm))
+       java.nio.file.Files.createTempDirectory(shm, prefix)
+     else java.nio.file.Files.createTempDirectory(prefix)).toString
+  }
+
   private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.SigStore
     val docs = t(s, dir, "documents")
     val cfg = SigStore.Config(shingleLen = 3, bands = 4, rowsPerBand = 4)
-    val store = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+    val store = scratchDir("graft-sigstore")
     try {
       SigStore.appendUpserts(store, docs.filter(col("doc_id") % 10 =!= 0),
         col("doc_id"), col("text"), lit(1L), cfg)
@@ -411,7 +422,7 @@ object SparkEntry {
     // probing prunes list directories, so a query costs ~nProbe/C of the
     // corpus. Ingest appends ride IvfIndex.appendVectors (frozen centroids,
     // same assignment kernel) — proved equal to a rebuild in IvfIndexSpec.
-    val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val idx = scratchDir("graft-ivf")
     try {
       val e = t(s, dir, "embeddings")
       IvfIndex.build(idx, e, col("vec_id"), col("embedding"),
