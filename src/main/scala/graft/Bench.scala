@@ -96,7 +96,7 @@ object Bench {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val store = SparkEntry.scratchDir("graft-bench-sigstore")
     try {
-      val cfg = SigStore.Config(shingleLen = 3, bands = 4, rowsPerBand = 4)
+      val cfg = SparkEntry.SigStoreCfg
       out += "sigstore_build_sec" -> timed(
         SigStore.appendUpserts(store, docs.filter(col("doc_id") % 10 =!= 0),
           col("doc_id"), col("text"), lit(1L), cfg))
@@ -111,7 +111,7 @@ object Bench {
     try {
       out += "ivf_build_sec" -> timed(
         IvfIndex.build(idx, emb, col("vec_id"), col("embedding"),
-          IvfIndex.Config(16, 2)))
+          SparkEntry.IvfCfg))
       out += "ivf_probe_sec" -> timed {
         IvfIndex.topK(spark, idx, emb.filter(col("vec_id") < 8),
           col("vec_id"), col("embedding"), nProbe = 2, k = 3).count(); ()

@@ -121,11 +121,20 @@ object CdcBench {
           .agg(org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("offset")))
           .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
         val t0 = System.nanoTime()
+        @volatile var tailFailure: Throwable = null
         val tailThread = new Thread(() =>
-          StreamIngest.tailRules(spark, logDir, rules, ckpt, maxFilesPerTrigger = 4))
+          try StreamIngest.tailRules(spark, logDir, rules, ckpt, maxFilesPerTrigger = 4)
+          catch { case e: Throwable => tailFailure = e })
         tailThread.start()
-        while (dirs.exists(d => LakeTable.load(spark, d).snapshot.fence != expectedFence))
+        // bounded wait: a dead tail (stale checkpoint, fold failure at a
+        // batch boundary) must fail the bench, not wedge it forever
+        val deadline = System.nanoTime() + 600L * 1000000000L
+        while (dirs.exists(d => LakeTable.load(spark, d).snapshot.fence != expectedFence)) {
+          if (tailFailure != null) throw tailFailure
+          require(tailThread.isAlive, "tailRules thread died before catching up")
+          require(System.nanoTime() < deadline, "tail_mor_rules catch-up timed out (600 s)")
           Thread.sleep(100)
+        }
         val caughtUp = (System.nanoTime() - t0) / 1e9
         StreamIngest.requestStopRules(ckpt)
         tailThread.join(120000)

@@ -74,10 +74,14 @@ object GenSf {
   private def writeOne(df: DataFrame, path: String): Unit = {
     val tmp = s"$path.tmpdir"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator()
-      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-    var found: java.nio.file.Path = null
-    while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) found = p }
+    // Using.resource: Files.list holds an open directory fd until closed
+    val found = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(tmp))) { st =>
+      val it = st.iterator()
+      var f: java.nio.file.Path = null
+      while (it.hasNext) { val p = it.next(); if (p.toString.endsWith(".parquet")) f = p }
+      f
+    }
     require(found != null, s"no part file under $tmp")
     java.nio.file.Files.move(found, java.nio.file.Paths.get(path),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -331,10 +331,18 @@ object SparkEntry {
      else java.nio.file.Files.createTempDirectory(prefix)).toString
   }
 
+  /** Signature-store parameters for `dedup_incremental` — shared with
+    * Bench.storeSplits so the published build/probe split measures exactly
+    * the hash-verified query's configuration. */
+  private[graft] val SigStoreCfg = {
+    import graft.operators.SigStore
+    SigStore.Config(shingleLen = 3, bands = 4, rowsPerBand = 4)
+  }
+
   private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.SigStore
     val docs = t(s, dir, "documents")
-    val cfg = SigStore.Config(shingleLen = 3, bands = 4, rowsPerBand = 4)
+    val cfg = SigStoreCfg
     val store = scratchDir("graft-sigstore")
     try {
       SigStore.appendUpserts(store, docs.filter(col("doc_id") % 10 =!= 0),
@@ -425,8 +433,7 @@ object SparkEntry {
     val idx = scratchDir("graft-ivf")
     try {
       val e = t(s, dir, "embeddings")
-      IvfIndex.build(idx, e, col("vec_id"), col("embedding"),
-        IvfIndex.Config(IvfC, IvfLloydIters))
+      IvfIndex.build(idx, e, col("vec_id"), col("embedding"), IvfCfg)
       IvfIndex.topK(s, idx, e.filter(col("vec_id") < 8),
         col("vec_id"), col("embedding"), nProbe = 2, k = 3)
         .localCheckpoint(true) // materialize before the temp index is deleted
@@ -434,9 +441,11 @@ object SparkEntry {
       .deleteQuietly(new java.io.File(idx))
   }
 
-  /** IVF quantizer parameters, shared with the oracle SQL generator. */
+  /** IVF quantizer parameters, shared with the oracle SQL generator and
+    * with Bench.storeSplits (same-parameters contract as [[SigStoreCfg]]). */
   private val IvfC = 16
   private val IvfLloydIters = 2
+  private[graft] val IvfCfg = graft.operators.IvfIndex.Config(IvfC, IvfLloydIters)
 
   /** Corpus-size-scaled sketch width for the embedding near-dup gate:
     * bits = min(24, bitlength(max(1, N / targetBucket))) — i.e. roughly

@@ -127,6 +127,7 @@ object AnnSearch {
     val e = corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"),
       l2norm(col(vecCol)).as("nrm"))
       .persist() // scanned once per Lloyd iteration (assignment + dim sums)
+    try { // unpersist on EVERY exit — incl. the seed requires and job failures
     var cents: Seq[(Long, Seq[Double])] = corpus
       .filter(col(idCol) < c)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
@@ -187,8 +188,8 @@ object AnnSearch {
       }.toSeq.sortBy(_._1)
       bc.unpersist(blocking = false)
     }
-    e.unpersist(blocking = false)
     cents
+    } finally e.unpersist(blocking = false)
   }
 
   /** Result of [[embedNearDupPairs]]: the candidate-verified pairs plus the

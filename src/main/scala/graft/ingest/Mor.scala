@@ -297,10 +297,21 @@ object MorFolds {
     * the skip/failure contract is unit-testable without a Spark fold). */
   private[graft] def submitTask(rawKey: String)(task: => Unit): Boolean = {
     val key = normKey(rawKey)
-    val w = workers.computeIfAbsent(key, _ => new Worker)
-    val prior = w.failure.getAndSet(null)
-    if (prior != null) throw prior
-    if (!w.busy.compareAndSet(false, true)) return false
+    // claim INSIDE the per-key map operation: the busy CAS must be atomic
+    // with registry membership, or a drain racing this submit can observe
+    // busy=false, remove the entry, and orphan the worker this call just
+    // claimed (two concurrent folds on one table; its failure never
+    // rethrown). drain's conditional remove runs under the same lock.
+    var claimed: Worker = null
+    workers.compute(key, (_, existing) => {
+      val w = if (existing == null) new Worker else existing
+      val prior = w.failure.getAndSet(null)
+      if (prior != null) throw prior // mapping left unchanged
+      if (w.busy.compareAndSet(false, true)) claimed = w
+      w
+    })
+    if (claimed == null) return false
+    val w = claimed
     val t = new Thread(() => {
       try task
       catch { case e: Throwable => w.failure.set(e) }
@@ -321,9 +332,13 @@ object MorFolds {
     val t = w.thread
     if (t != null) t.join()
     // unregister after a clean join so a long-lived process (benches create a
-    // fresh temp table per run) doesn't grow the map unboundedly; guarded
-    // remove(key, w) + busy check so a racing re-submit keeps its entry
-    if (!w.busy.get()) workers.remove(key, w)
+    // fresh temp table per run) doesn't grow the map unboundedly. The busy
+    // check and the remove run atomically under the key's map lock — the
+    // same lock submitTask claims under — so a racing re-submit either
+    // claimed first (busy=true, entry kept) or blocks until the remove and
+    // creates a fresh worker
+    workers.compute(key, (_, cur) =>
+      if ((cur eq w) && !w.busy.get()) null else cur)
     val f = w.failure.getAndSet(null)
     if (f != null) throw f
   }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.functions.{AnnSearch, VecExprs}
 
 /** Persisted IVF (inverted-file) ANN index — the train-once / probe-many
@@ -38,6 +39,13 @@ object IvfIndex {
 
   private def centDir(dir: String) = s"$dir/centroids"
   private def listDir(dir: String) = s"$dir/lists"
+
+  // the schema writeAssigned produces (embedding element type follows the
+  // engine's Array[Float] embedding column)
+  private val listsSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+    StructField("nrm", DoubleType), StructField("seq", LongType),
+    StructField("cp", LongType)))
 
   /** Train the quantizer on `corpus` and (re)write the full index. One Lloyd
     * training pass + ONE assignment job + one partitioned write. */
@@ -98,7 +106,12 @@ object IvfIndex {
     // with the corpus
     val paths = centIds.map(c => s"${listDir(dir)}/cp=$c")
       .filter(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
-    val scan = if (paths.isEmpty) spark.read.parquet(listDir(dir)).limit(0)
+    // zero probed dirs (all probed lists empty, or a fresh index) returns an
+    // explicit empty frame — a root read here would list every list dir and
+    // schema-infer over files this method promises never to open
+    val scan = if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        listsSchema)
       else spark.read.option("basePath", listDir(dir)).parquet(paths: _*)
     scan
       .groupBy(col("vec_id"))

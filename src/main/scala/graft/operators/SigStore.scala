@@ -136,8 +136,19 @@ object SigStore {
   /** Append head tombstones for DELETED docs (their sig rows become
     * unreachable — `incrementalPairs` serves only alive head-seq rows). */
   def appendDeletes(dir: String, docs: DataFrame, doc: Column, seq: Column, cfg: Config): Unit =
-    docs.select(doc.cast("string").as("doc"), seq.cast("long").as("seq"),
-        lit(false).as("alive"), lit(null).cast("long").as("simhash"))
+    appendHeads(dir, docs.select(doc.cast("string").as("doc"),
+      seq.cast("long").as("seq"), lit(false).as("alive")), cfg)
+
+  /** Append head rows (doc, seq, alive) with NO signature rows. Advancing the
+    * head without signatures makes the doc's previous sig rows unreachable
+    * (reads serve only `seq == head_seq`) — used for deletes (alive=false)
+    * and for winners whose carried image NULLS the content (alive=true):
+    * the table overwrites content to null in that case (MergeApply's
+    * image-overwrite semantics — only columns ABSENT from the image are
+    * preserved), so the store must stop serving the stale signature too. */
+  private def appendHeads(dir: String, rows: DataFrame, cfg: Config): Unit =
+    rows.select(col("doc"), col("seq"), col("alive"),
+        lit(null).cast("long").as("simhash"))
       .withColumn("hp", shardOf(col("doc"), cfg.shards))
       .repartition(col("hp"))
       .write.mode("append").partitionBy("hp").parquet(headDir(dir))
@@ -147,11 +158,14 @@ object SigStore {
     * (one winner per key, mirroring the table's per-batch semantics — an
     * intermediate in-batch version never lands in the table, so it must not
     * land in the store either). Winners that CARRY content re-sign the doc;
-    * updates that did not carry `content` left it unchanged, so their
-    * signature (and head seq) stay put; deletes tombstone the head. Doc key
-    * = `repo/path`. Append-only + head-seq resolution make this idempotent
-    * and re-delivery-tolerant: a replayed old event appends rows below the
-    * head seq, which reads never serve. */
+    * winners with a NULL content null the table row's content (MergeApply
+    * image-overwrite semantics), so they advance the head seq WITHOUT new
+    * sig rows — the old signature becomes unreachable, matching the table;
+    * deletes tombstone the head. Doc key = `repo/path`. Append-only +
+    * head-seq resolution make this idempotent and re-delivery-tolerant: the
+    * head advances with EVERY winner (content-carrying or not), so a
+    * replayed old event always appends rows below the head seq, which reads
+    * never serve. */
   def maintainFromEvents(dir: String, events: DataFrame, cfg: Config): Unit = {
     val lww = events
       .groupBy(col("repo"), col("path"))
@@ -164,8 +178,11 @@ object SigStore {
       val ups = lww.filter(col("op") =!= graft.model.Ops.Delete &&
         col("after.content").isNotNull)
       appendUpserts(dir, ups, key, col("after.content"), col("seq"), cfg)
-      val dels = lww.filter(col("op") === graft.model.Ops.Delete)
-      appendDeletes(dir, dels, key, col("seq"), cfg)
+      // deletes and content-nulling winners share ONE head-only append
+      appendHeads(dir, lww.filter(col("op") === graft.model.Ops.Delete ||
+          col("after.content").isNull)
+        .select(key.as("doc"), col("seq").cast("long").as("seq"),
+          (col("op") =!= graft.model.Ops.Delete).as("alive")), cfg)
     } finally lww.unpersist(blocking = false)
   }
 

@@ -98,6 +98,20 @@ class IvfIndexSpec extends AnyFunSuite {
       Seq(0L, 1L, 2L, 121L), 2, 3))
   }
 
+  test("zero existing probed dirs yield empty candidates without touching the lists root") {
+    val idx = TestSpark.tmpDir("graft-ivf-emptyprobe")
+    IvfIndex.build(idx, vecsDF(0 until 40), col("vec_id"), col("embedding"), cfg)
+    // poison one real list dir: any fallback that lists/schema-infers the
+    // ROOT fails loudly, while the probed-paths contract never opens it
+    val d = java.nio.file.Paths.get(idx, "lists", "cp=0")
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.write(d.resolve("poison.parquet"), "junk".getBytes)
+    assert(IvfIndex.listsFor(spark, idx, Seq(9999L)).count() === 0L)
+    // a fresh index with NO lists tree at all must also read as empty
+    val fresh = TestSpark.tmpDir("graft-ivf-freshprobe")
+    assert(IvfIndex.listsFor(spark, fresh, Seq(1L)).count() === 0L)
+  }
+
   test("re-appended vectors resolve by LWW; unprobed list dirs are never opened") {
     val idx = TestSpark.tmpDir("graft-ivf-lww")
     val ids = 0 until 120

@@ -636,4 +636,35 @@ class MorSpec extends AnyFunSuite {
     assert(thrown.map(_.getMessage).contains("next boom"))
     MorFolds.drain(k3) // the probe never started a task; drain stays clean
   }
+
+  test("async fold worker: drain racing submits never orphans a claimed worker") {
+    import graft.ingest.MorFolds
+    // drain unregisters idle workers; a submit racing that removal must
+    // either keep its claimed entry or get a fresh one — never end up with
+    // two folds in flight for one table (the claim and the conditional
+    // remove both run under the key's map lock)
+    val key = s"/tmp/morfolds-race-${System.nanoTime()}"
+    val running = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val submitter = new Thread(() => {
+      while (!stop.get()) {
+        MorFolds.submitTask(key) {
+          val n = running.incrementAndGet()
+          maxSeen.accumulateAndGet(n, (a, b) => math.max(a, b))
+          Thread.sleep(1)
+          running.decrementAndGet()
+          ()
+        }
+        ()
+      }
+    })
+    submitter.start()
+    (0 until 300).foreach { _ => MorFolds.drain(key) }
+    stop.set(true)
+    submitter.join()
+    MorFolds.drain(key)
+    assert(maxSeen.get() <= 1,
+      s"one-in-flight-fold-per-table violated: ${maxSeen.get()} concurrent folds")
+  }
 }

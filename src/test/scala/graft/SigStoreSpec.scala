@@ -118,6 +118,31 @@ class SigStoreSpec extends AnyFunSuite {
     assert(gotPairs(store, batch) === want)
   }
 
+  test("a null-content winner advances the head: old signature dies, stale content can't resurrect it") {
+    val store = TestSpark.tmpDir("graft-sig-nullcontent")
+    val corpus = (0 until 24).map(doc(_)).map { case (id, tx) => (k(id), tx) }
+    SigStore.appendUpserts(store, docsDF(corpus), col("doc_id"), col("text"),
+      lit(1L), cfg)
+    // a fresh batch doc sharing d000's cluster text pairs with d000..d003
+    val batch = Seq((k("d900"), doc(1)._2))
+    val got0 = gotPairs(store, batch)
+    assert(got0.exists(p => p._1 == k("d000") || p._2 == k("d000")),
+      "fixture must pair the batch doc with d000 before the null-content update")
+    // update that NULLS d000's content: the table row's content becomes null
+    // (MergeApply image-overwrite — only image-ABSENT columns are preserved),
+    // so d000 must stop producing pairs even though no new signature exists
+    SigStore.maintainFromEvents(store,
+      eventsDF(Seq(("d000", null, "update", 50L))), cfg)
+    val corpusSansD0 = corpus.filterNot(_._1 == k("d000"))
+    val want = expectedPairs(corpusSansD0 ++ batch, batch.map(_._1).toSet)
+    assert(gotPairs(store, batch) === want)
+    // stale re-delivery of d000's ORIGINAL content below the advanced head:
+    // must stay dead (this is the window a non-advancing head would reopen)
+    SigStore.maintainFromEvents(store,
+      eventsDF(Seq(("d000", doc(0)._2, "update", 2L))), cfg)
+    assert(gotPairs(store, batch) === want)
+  }
+
   test("store reads are partition-pruned: a poisoned untouched shard is never opened") {
     val store = TestSpark.tmpDir("graft-sig-prune")
     val corpus = (0 until 60).map(doc(_))
