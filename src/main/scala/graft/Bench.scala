@@ -117,6 +117,24 @@ object Bench {
           col("vec_id"), col("embedding"), nProbe = 2, k = 3).count(); ()
       }
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+    // lake-path queries: BUILD the two-phase table once (the queries-map
+    // numbers for cdc_time_travel/cdc_change_feed include this), then time
+    // the reads alone — the cost a steady-state consumer actually pays.
+    var scratch: String = null
+    try {
+      var tbl: (graft.lake.LakeTable, Long, Long) = null
+      out += "lake_build_sec" -> timed {
+        val (t, v1, v2, s) = SparkEntry.twoPhaseTable(spark, sfDir)
+        tbl = (t, v1, v2); scratch = s
+      }
+      out += "timetravel_read_sec" -> timed {
+        tbl._1.read(tbl._1.snapshotAt(tbl._2)).count(); ()
+      }
+      out += "changefeed_read_sec" -> timed {
+        graft.lake.ChangeFeed.changesBetween(tbl._1, tbl._2, tbl._3).count(); ()
+      }
+    } finally if (scratch != null)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
     out.toSeq
   }
 

@@ -143,6 +143,91 @@ object SparkEntry {
       .groupBy(col("log_partition"))
       .agg(max(col("event_id")).as("fence_offset"), count(lit(1)).as("n_events"))
 
+  /** The events table recast as the engine's changelog (ChangeEvent rows):
+    * key = (repo = 'r'||user_id%8, path = user_id), seq/offset = event_id,
+    * partition = user_id%4, image = (commit = event_id, lang = event_type,
+    * content = cents of value). Fuel for the queries that drive the REAL
+    * lake path (two-phase replay → time travel / change feed); every field
+    * is re-derivable in DuckDB, so the oracles check the actual LakeTable
+    * machinery, not a semantic projection. */
+  private def eventsAsChangelog(s: SparkSession, dir: String): (DataFrame, Long) = {
+    import graft.model.Schemas
+    val ev = t(s, dir, "events").withColumn("op", opCol)
+      .filter(col("op").isin("insert", "update", "delete"))
+    val repo = concat(lit("r"), (col("user_id") % 8).cast("string"))
+    val img = struct(
+      repo.as("repo"),
+      col("user_id").cast("string").as("path"),
+      col("event_id").cast("string").as("commit"),
+      col("event_type").as("lang"),
+      round(col("value") * 100).cast("long").cast("string").as("content"))
+    val log = ev.select(
+      (col("user_id") % 4).cast("int").as("partition"),
+      col("event_id").cast("long").as("offset"),
+      col("event_id").cast("long").as("seq"),
+      col("ts").cast("timestamp").as("ts"),
+      col("op"),
+      repo.as("repo"),
+      col("user_id").cast("string").as("path"),
+      when(col("op").isin("update", "delete"), img).as("before"),
+      when(col("op") =!= "delete", img).as("after"),
+      lit(null).cast(Schemas.ddlOp).as("ddl"))
+    val split = ev.agg(max(col("event_id")).cast("long")).head.getLong(0) / 2
+    (log, split)
+  }
+
+  /** Two-phase replay of [[eventsAsChangelog]] into a scratch LakeTable:
+    * events ≤ split → v1, the rest → v2. Caller owns deleting `scratch`.
+    * Shared with Bench.lakeSplits so the published build/read split measures
+    * exactly the hash-verified queries' fixture. */
+  private[graft] def twoPhaseTable(s: SparkSession, dir: String)
+      : (graft.lake.LakeTable, Long, Long, String) = {
+    import graft.ingest.Ingest
+    import graft.lake.LakeTable
+    val scratch = scratchDir("graft-lake")
+    val (log, split) = eventsAsChangelog(s, dir)
+    val table = LakeTable.create(s, s"$scratch/table", numBuckets = 16)
+    Ingest.replayLog(table, log.filter(col("seq") <= split))
+    val v1 = table.snapshot.version
+    Ingest.replayLog(table, log.filter(col("seq") > split))
+    (table, v1, table.snapshot.version, scratch)
+  }
+
+  /** Runs `f` over the two-phase table and materializes its result
+    * (localCheckpoint) before the scratch table is deleted. */
+  private def withTwoPhaseTable(s: SparkSession, dir: String)(
+      f: (graft.lake.LakeTable, Long, Long) => DataFrame): DataFrame = {
+    val (table, v1, v2, scratch) = twoPhaseTable(s, dir)
+    try f(table, v1, v2).localCheckpoint(true)
+    finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(scratch))
+  }
+
+  /** §2.4/lake — TIME TRAVEL: the committed state as of version v1 (after
+    * later commits landed), via `snapshotAt` + snapshot-isolated read. */
+  private def qTimeTravel(s: SparkSession, dir: String): DataFrame =
+    withTwoPhaseTable(s, dir) { (table, v1, _) =>
+      table.read(table.snapshotAt(v1)).select(
+        col("path").cast("long").as("user_id"),
+        col("commit").cast("long").as("last_event_id"),
+        col("lang").as("last_event_type"),
+        col("content").cast("long").as("cents"))
+    }
+
+  /** §2.4/lake — CHANGE DATA FEED: net row-level changes between v1 and v2
+    * served from the TABLE's retained snapshots (ChangeFeed.changesBetween),
+    * classified insert/update/delete; deletes carry the pre-image. */
+  private def qChangeFeed(s: SparkSession, dir: String): DataFrame =
+    withTwoPhaseTable(s, dir) { (table, v1, v2) =>
+      graft.lake.ChangeFeed.changesBetween(table, v1, v2).select(
+        col("path").cast("long").as("user_id"),
+        col("change_op"),
+        col("_seq").as("seq"),
+        col("commit").cast("long").as("carried_event_id"),
+        col("lang").as("carried_event_type"),
+        col("content").cast("long").as("carried_cents"))
+    }
+
   /** A6/E3 — lineage metrics: events by op class. */
   private def qOpMetrics(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -538,6 +623,8 @@ object SparkEntry {
     "cdc_table_filter" -> (qTableFilter _),
     "cdc_dedup_lww" -> (qDedupLww _),
     "cdc_merge_fold" -> (qMergeFold _),
+    "cdc_time_travel" -> (qTimeTravel _),
+    "cdc_change_feed" -> (qChangeFeed _),
     "cdc_session_agg" -> (qSessionAgg _),
     "cdc_key_builder" -> (qKeyBuilder _),
     "cdc_diff_changed" -> (qDiffChanged _),
@@ -852,6 +939,45 @@ object SparkEntry {
          |FROM (SELECT *, $opSql AS op,
          |             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
          |      FROM events) WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+
+    // Two-phase replay fixture shared by the lake-path oracles: the filtered
+    // changelog, its midpoint split, and the LWW winner per key at split (w1)
+    // and at end (w2). The Spark side runs the REAL LakeTable machinery
+    // (replay → snapshots → time travel / change feed); DuckDB re-derives the
+    // same states straight from the events.
+    "cdc_time_travel" ->
+      s"""WITH ops AS (SELECT user_id, event_id, event_type, value, $opSql AS op FROM events),
+         |ro AS (SELECT * FROM ops WHERE op IN ('insert','update','delete')),
+         |sp AS (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS s FROM ro),
+         |w1 AS (SELECT * FROM (
+         |  SELECT ro.*, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         |  FROM ro WHERE event_id <= (SELECT s FROM sp)) WHERE rn = 1)
+         |SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+         |       CAST(round(value * 100) AS BIGINT) AS cents
+         |FROM w1 WHERE op <> 'delete'""".stripMargin,
+
+    "cdc_change_feed" ->
+      s"""WITH ops AS (SELECT user_id, event_id, event_type, value, $opSql AS op FROM events),
+         |ro AS (SELECT * FROM ops WHERE op IN ('insert','update','delete')),
+         |sp AS (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS s FROM ro),
+         |w1 AS (SELECT * FROM (
+         |  SELECT ro.*, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         |  FROM ro WHERE event_id <= (SELECT s FROM sp)) WHERE rn = 1),
+         |w2 AS (SELECT * FROM (
+         |  SELECT ro.*, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         |  FROM ro) WHERE rn = 1),
+         |o AS (SELECT * FROM w1 WHERE op <> 'delete'),
+         |cls AS (
+         |  SELECT n.user_id,
+         |    CASE WHEN n.op <> 'delete' AND o.user_id IS NULL THEN 'insert'
+         |         WHEN n.op <> 'delete' AND o.user_id IS NOT NULL AND n.event_id <> o.event_id THEN 'update'
+         |         WHEN n.op = 'delete' AND o.user_id IS NOT NULL THEN 'delete' END AS change_op,
+         |    n.event_id AS seq,
+         |    CASE WHEN n.op = 'delete' THEN o.event_id ELSE n.event_id END AS carried_event_id,
+         |    CASE WHEN n.op = 'delete' THEN o.event_type ELSE n.event_type END AS carried_event_type,
+         |    CAST(round((CASE WHEN n.op = 'delete' THEN o.value ELSE n.value END) * 100) AS BIGINT) AS carried_cents
+         |  FROM w2 n LEFT JOIN o ON n.user_id = o.user_id)
+         |SELECT * FROM cls WHERE change_op IS NOT NULL""".stripMargin,
 
     "cdc_session_agg" ->
       """WITH t AS (

@@ -191,6 +191,28 @@ object Main {
         lines.asScala.takeRight(3).foreach(l => println(s"  ${l.take(400)}"))
       }
 
+    case "readat" => // time travel: committed state as of an older version
+      val table = LakeTable.load(spark, args(1))
+      val s = table.snapshotAt(args(2).toLong)
+      println(s"table=${args(1)} version=${s.version} (latest=${table.snapshot.version}) " +
+        s"schemaId=${s.schemaId} rows~=${s.totalRows}")
+      val rows = table.read(s)
+      println(s"liveRows=${rows.count()}")
+      rows.orderBy("repo", "path").show(20, truncate = 60)
+
+    case "changes" => // change data feed over (fromVersion, toVersion]
+      val table = LakeTable.load(spark, args(1))
+      val from = args(2).toLong
+      val to = if (args.length > 3) args(3).toLong else table.snapshot.version
+      val feed = graft.lake.ChangeFeed.changesBetween(table, from, to)
+        .localCheckpoint(true)
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val byOp = feed.groupBy(col(graft.lake.ChangeFeed.OpColName))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
+      println(s"changes ($from, $to]: ${feed.count()} rows {$byOp}")
+      feed.orderBy("repo", "path").show(20, truncate = 60)
+
     case "compact" =>
       val table = LakeTable.load(spark, args(1))
       val horizon = if (args.length > 2) Some(args(2).toLong) else None
@@ -257,6 +279,8 @@ object Main {
       |  replay  <logDir> <tableDir>
       |  report  <tableDir>
       |  fold    <tableDir>                 # compact merge-on-read deltas into base
+      |  readat  <tableDir> <version>       # time travel: read an older committed version
+      |  changes <tableDir> <fromVersion> [toVersion]  # change data feed over (from, to]
       |  compact <tableDir> [tombstoneHorizonSeq]
       |  rebucket <tableDir> <newBuckets>
       |  expire  <tableDir> [keepSnapshots]

@@ -49,7 +49,13 @@ object MorRead {
     * failed stat counts as effectively-infinite, so unknown sizes degrade to
     * the safe (non-broadcast) shape, never to an OOM. */
   def deltaBytes(table: LakeTable, s: Snapshot): Long =
-    s.deltaFiles.iterator.map { f =>
+    deltaBytesOf(table, s.deltaFiles)
+
+  /** [[deltaBytes]] over an explicit file subset (partial resolution paths:
+    * [[resolveInternalOn]] gates its broadcast shape on the subset it joins,
+    * not the whole snapshot's backlog). */
+  def deltaBytesOf(table: LakeTable, files: Seq[DataFile]): Long =
+    files.iterator.map { f =>
       if (f.bytes > 0L) f.bytes
       else
         try java.nio.file.Files.size(java.nio.file.Paths.get(table.resolve(f.path)))
@@ -123,30 +129,9 @@ object MorRead {
       case _ => Set.empty
     }
     val (imageBinding, _) = ImageBinding.bind(s, imageFields)
-    def imageField(c: String): Option[String] = imageBinding.get(c)
 
-    val isDel = col("d.op") === Ops.Delete
-
-    /** The COW merge's column resolution; `bCol` abstracts over whether a
-      * base row exists (join-matched) or is known absent (insert residue). */
     def outCols(bCol: String => Column, dWins: Column, baseSeq: Column): Seq[Column] =
-      sch.columns.map { c =>
-        val tp = TableSchema.toSpark(c.dataType)
-        if (c.name == "repo" || c.name == "path")
-          coalesce(col(s"d.${c.name}"), bCol(c.name)).as(c.name)
-        else imageField(c.name) match {
-          case Some(f) =>
-            when(dWins && !isDel, col(s"d.after.$f").cast(tp))
-              .when(dWins && isDel, lit(null).cast(tp))
-              .otherwise(bCol(c.name)).as(c.name)
-          case None => // column not carried by the image: preserve current value
-            when(dWins && isDel, lit(null).cast(tp))
-              .otherwise(bCol(c.name)).as(c.name)
-        }
-      } ++ Seq(
-        when(dWins, col("d.seq")).otherwise(baseSeq).as(LakeTable.SeqCol),
-        when(dWins, isDel).otherwise(coalesce(bCol(LakeTable.DeletedCol), lit(false)))
-          .as(LakeTable.DeletedCol))
+      outColsFor(sch, imageBinding, bCol, dWins, baseSeq)
 
     // ---- bucket pruning: split base into join side / identity passthrough
     val touched = touchedBuckets(s)
@@ -200,5 +185,80 @@ object MorRead {
     resolvedInternal
       .filter(!col(LakeTable.DeletedCol))
       .select(sch.columns.map(c => col(c.name)): _*)
+  }
+
+  /** The COW merge's column resolution, shared by [[resolve]] and
+    * [[resolveInternalOn]]; `bCol` abstracts over whether a base row exists
+    * (join-matched) or is known absent (insert residue). */
+  private def outColsFor(
+      sch: TableSchema, imageBinding: Map[String, String],
+      bCol: String => Column, dWins: Column, baseSeq: Column): Seq[Column] = {
+    val isDel = col("d.op") === Ops.Delete
+    sch.columns.map { c =>
+      val tp = TableSchema.toSpark(c.dataType)
+      if (c.name == "repo" || c.name == "path")
+        coalesce(col(s"d.${c.name}"), bCol(c.name)).as(c.name)
+      else imageBinding.get(c.name) match {
+        case Some(f) =>
+          when(dWins && !isDel, col(s"d.after.$f").cast(tp))
+            .when(dWins && isDel, lit(null).cast(tp))
+            .otherwise(bCol(c.name)).as(c.name)
+        case None => // column not carried by the image: preserve current value
+          when(dWins && isDel, lit(null).cast(tp))
+            .otherwise(bCol(c.name)).as(c.name)
+      }
+    } ++ Seq(
+      when(dWins, col("d.seq")).otherwise(baseSeq).as(LakeTable.SeqCol),
+      when(dWins, isDel).otherwise(coalesce(bCol(LakeTable.DeletedCol), lit(false)))
+        .as(LakeTable.DeletedCol))
+  }
+
+  /** Internal MOR resolution over EXPLICIT file subsets: `baseFiles` joined
+    * against the deduped winners of `deltaFiles`, under snapshot `s`'s
+    * current schema. Output = s.schema columns + `_seq` + `_deleted`,
+    * TOMBSTONES INCLUDED (callers that want the public view filter).
+    *
+    * Unlike [[resolve]] there is no bucket-pruning split and no staleness
+    * guard — the caller picked the subsets and owns their coverage contract:
+    * LWW over a subset is exact for every key all of whose base/delta files
+    * are in the subset (see [[graft.lake.ChangeFeed]], which prunes by
+    * candidate key ranges and then restricts to candidate keys, so partially
+    * covered keys never reach its output). */
+  private[graft] def resolveInternalOn(
+      table: LakeTable, s: Snapshot,
+      baseFiles: Seq[DataFile], deltaFiles: Seq[DataFile],
+      broadcastMaxRows: Long = BroadcastWinnersMaxRows,
+      broadcastMaxBytes: Long = BroadcastDeltaMaxBytes): DataFrame = {
+    val sch = s.schema
+    val withDeleted = (df: DataFrame) => df.select(
+      (sch.columns.map(c => col(c.name)) :+
+        col(LakeTable.SeqCol) :+
+        coalesce(col(LakeTable.DeletedCol), lit(false)).as(LakeTable.DeletedCol)): _*)
+    if (deltaFiles.isEmpty) return withDeleted(table.readInternal(s, baseFiles))
+
+    val d0 = deltaWinnersOf(table, deltaFiles)
+    val imageFields: Set[String] = d0.schema("after").dataType match {
+      case st: StructType => st.fieldNames.toSet
+      case _ => Set.empty
+    }
+    val (imageBinding, _) = ImageBinding.bind(s, imageFields)
+    val b = table.readInternal(s, baseFiles).alias("b")
+    val d = d0.alias("d")
+    val baseSeq = col(s"b.${LakeTable.SeqCol}")
+    val dWins = col("d.seq").isNotNull && (baseSeq.isNull || col("d.seq") > baseSeq)
+    val keyCond = col("b.repo") === col("d.repo") && col("b.path") === col("d.path")
+    val deltaRows = deltaFiles.iterator.map(_.rows).sum
+
+    if (deltaRows <= broadcastMaxRows && deltaBytesOf(table, deltaFiles) <= broadcastMaxBytes) {
+      val matched = b.join(broadcast(d), keyCond, "left_outer")
+        .select(outColsFor(sch, imageBinding, n => col(s"b.$n"), dWins, baseSeq): _*)
+      val baseKeys = table.readInternal(s, baseFiles).select(col("repo"), col("path"))
+      val inserts = d0.join(baseKeys, Seq("repo", "path"), "left_anti").alias("d")
+        .select(outColsFor(sch, imageBinding, n => lit(null), lit(true), lit(null).cast("long")): _*)
+      matched.unionByName(inserts)
+    } else {
+      b.join(d, keyCond, "full_outer")
+        .select(outColsFor(sch, imageBinding, n => col(s"b.$n"), dWins, baseSeq): _*)
+    }
   }
 }
