@@ -117,9 +117,10 @@ object Bench {
           col("vec_id"), col("embedding"), nProbe = 2, k = 3).count(); ()
       }
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
-    // lake-path queries: BUILD the two-phase table once (the queries-map
-    // numbers for cdc_time_travel/cdc_change_feed include this), then time
-    // the reads alone — the cost a steady-state consumer actually pays.
+    // lake-path queries: BUILD a fresh (uncached) two-phase table — the
+    // one-time fixture cost — then time the reads alone, the cost a
+    // steady-state consumer actually pays. (The queries-map numbers read the
+    // warmup-built cached fixture, so they measure the reads too.)
     var scratch: String = null
     try {
       var tbl: (graft.lake.LakeTable, Long, Long) = null
@@ -172,6 +173,11 @@ object Bench {
     // wide aggregate); without its own warmup the timed number is mostly
     // Janino, not the query
     try SparkEntry.queries("ann_ivf_topk")(spark, sfDir).count() catch { case _: Throwable => }
+    // the lake-path queries share one cached two-phase fixture; building it
+    // here keeps the first of them from absorbing the whole Ingest/merge
+    // codegen warmup — the honest build cost is still published as the
+    // lake_build_sec split (which builds FRESH, uncached)
+    try SparkEntry.twoPhaseTableCached(spark, sfDir) catch { case _: Throwable => }
 
     // 1. operator queries
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

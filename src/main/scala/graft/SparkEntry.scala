@@ -193,14 +193,30 @@ object SparkEntry {
     (table, v1, table.snapshot.version, scratch)
   }
 
-  /** Runs `f` over the two-phase table and materializes its result
-    * (localCheckpoint) before the scratch table is deleted. */
+  /** The two-phase fixture is deterministic per sfDir, so the queries that
+    * share it (cdc_time_travel, cdc_change_feed) build it once per JVM; the
+    * scratch table is removed at exit. Reads only touch the immutable
+    * snapshots v1/v2, so sharing one handle is safe. */
+  private val twoPhaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.lake.LakeTable, Long, Long, String)]()
+
+  private[graft] def twoPhaseTableCached(s: SparkSession, dir: String)
+      : (graft.lake.LakeTable, Long, Long) = {
+    val (t, v1, v2, _) = twoPhaseCache.computeIfAbsent(dir, _ => {
+      val r = twoPhaseTable(s, dir)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r._4))))
+      r
+    })
+    (t, v1, v2)
+  }
+
+  /** Runs `f` over the (cached) two-phase table; the result needs no
+    * materialization — the fixture lives until JVM exit. */
   private def withTwoPhaseTable(s: SparkSession, dir: String)(
       f: (graft.lake.LakeTable, Long, Long) => DataFrame): DataFrame = {
-    val (table, v1, v2, scratch) = twoPhaseTable(s, dir)
-    try f(table, v1, v2).localCheckpoint(true)
-    finally org.apache.commons.io.FileUtils
-      .deleteQuietly(new java.io.File(scratch))
+    val (table, v1, v2) = twoPhaseTableCached(s, dir)
+    f(table, v1, v2)
   }
 
   /** §2.4/lake — TIME TRAVEL: the committed state as of version v1 (after

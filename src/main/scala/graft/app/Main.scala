@@ -213,6 +213,16 @@ object Main {
       println(s"changes ($from, $to]: ${feed.count()} rows {$byOp}")
       feed.orderBy("repo", "path").show(20, truncate = 60)
 
+    case "chain" => // derived-table sync off the source's change feed
+      val src = LakeTable.load(spark, args(1))
+      val dst =
+        if (LakeTable.exists(args(2))) LakeTable.load(spark, args(2))
+        else LakeTable.create(spark, args(2), numBuckets = src.numBuckets)
+      val r = graft.ingest.ChainApply.sync(src, dst)
+      println(s"chained ${args(2)} <- ${args(1)}: window=(${r.fromVersion}, ${r.toVersion}] " +
+        s"applied=${r.applied} deadLetters=${r.deadLetters}")
+      report(spark, args(2))
+
     case "compact" =>
       val table = LakeTable.load(spark, args(1))
       val horizon = if (args.length > 2) Some(args(2).toLong) else None
@@ -281,6 +291,7 @@ object Main {
       |  fold    <tableDir>                 # compact merge-on-read deltas into base
       |  readat  <tableDir> <version>       # time travel: read an older committed version
       |  changes <tableDir> <fromVersion> [toVersion]  # change data feed over (from, to]
+      |  chain   <srcTable> <dstTable>      # sync a derived table off the source's change feed
       |  compact <tableDir> [tombstoneHorizonSeq]
       |  rebucket <tableDir> <newBuckets>
       |  expire  <tableDir> [keepSnapshots]

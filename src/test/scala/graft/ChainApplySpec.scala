@@ -1,0 +1,111 @@
+package graft
+
+import graft.gen.{ChangelogGen, GenConfig}
+import graft.ingest.{ChainApply, Ingest}
+import graft.lake.LakeTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Chained (derived) tables: `ChainApply.sync` must keep a downstream
+  * LakeTable bit-identical to the source by consuming only the source's
+  * change feed — across multi-stage syncs, re-syncs (exactly-once via the
+  * version-as-batchId fence), MOR sources with live deltas, subset filters,
+  * schema evolution, and a second-hop chain (bronze → silver → gold).
+  */
+class ChainApplySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val cfg = GenConfig(seed = 31L, nEvents = 10000L, nRepos = 40,
+    pathsPerRepo = 12, skew = 3.0, nPartitions = 4, contentLen = 80)
+
+  private def rows(t: LakeTable): Set[(String, String, String)] =
+    t.read().select(col("repo"), col("path"), sha2(col("content"), 256))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+  private def freshPair(morSrc: Boolean): (LakeTable, LakeTable, DataFrame, Long) = {
+    val srcDir = TestSpark.tmpDir("graft-chain-src")
+    val dstDir = TestSpark.tmpDir("graft-chain-dst")
+    val src = LakeTable.create(spark, srcDir, numBuckets = 16)
+    val dst = LakeTable.create(spark, dstDir, numBuckets = 16)
+    val log = ChangelogGen.events(spark, cfg).toDF()
+    val split = cfg.nEvents / 2
+    val icfg = Ingest.IngestConfig(morMode = morSrc)
+    Ingest.replayLog(src, log.filter(col("seq") <= split), icfg)
+    (src, dst, log, split)
+  }
+
+  test("two-stage sync converges bit-exactly; re-sync is an exact no-op") {
+    val (src, dst, log, split) = freshPair(morSrc = false)
+    val r1 = ChainApply.sync(src, dst)
+    assert(r1.applied > 0 && r1.toVersion === src.snapshot.version)
+    assert(rows(dst) === rows(src), "after first sync")
+
+    Ingest.replayLog(src, log.filter(col("seq") > split))
+    val r2 = ChainApply.sync(src, dst)
+    assert(r2.fromVersion === r1.toVersion && r2.applied > 0)
+    assert(rows(dst) === rows(src), "after second sync")
+
+    // exactly-once: same source head ⇒ version-as-batchId fence no-op
+    val v = dst.snapshot.version
+    val r3 = ChainApply.sync(src, dst)
+    assert(r3.applied === 0L && dst.refresh().version === v)
+  }
+
+  test("MOR source with live unfolded deltas chains correctly") {
+    val (src, dst, log, split) = freshPair(morSrc = true)
+    Ingest.replayLog(src, log.filter(col("seq") > split),
+      Ingest.IngestConfig(morMode = true))
+    assert(src.snapshot.deltaFiles.nonEmpty, "fixture must have live deltas")
+    ChainApply.sync(src, dst)
+    assert(rows(dst) === rows(src))
+  }
+
+  test("filtered chain derives an exact subset on a key predicate") {
+    val (src, dst, log, split) = freshPair(morSrc = false)
+    val keep = col("repo").endsWith("1")
+    ChainApply.sync(src, dst, rowFilter = keep)
+    Ingest.replayLog(src, log.filter(col("seq") > split))
+    ChainApply.sync(src, dst, rowFilter = keep)
+    val want = src.read().filter(keep)
+      .select(col("repo"), col("path"), sha2(col("content"), 256))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows(dst) === want)
+    assert(want.nonEmpty && want.size < rows(src).size)
+  }
+
+  test("schema evolution propagates: destination gains the source's columns") {
+    val c = cfg.copy(seed = 8L, nEvents = 8000L, ddlEvery = 1500L)
+    val srcDir = TestSpark.tmpDir("graft-chain-ddl-src")
+    val dstDir = TestSpark.tmpDir("graft-chain-ddl-dst")
+    val src = LakeTable.create(spark, srcDir, numBuckets = 16)
+    val dst = LakeTable.create(spark, dstDir, numBuckets = 16)
+    val log = ChangelogGen.events(spark, c).toDF()
+    val split = c.nEvents / 2
+    Ingest.replayLog(src, log.filter(col("seq") <= split))
+    ChainApply.sync(src, dst)
+    Ingest.replayLog(src, log.filter(col("seq") > split))
+    ChainApply.sync(src, dst)
+    assert(src.refresh().schema.columns.size > 5, "fixture must evolve")
+    val srcCols = src.schema.columns.map(_.name).toSet
+    assert(srcCols.subsetOf(dst.refresh().schema.columns.map(_.name).toSet))
+    // full-row equality over every shared column, not just content
+    val cols = src.schema.columns.map(_.name)
+    def all(t: LakeTable) = t.read()
+      .select(cols.map(n => col(n).cast("string")): _*)
+      .collect().map(_.toSeq).toSet
+    assert(all(dst) === all(src))
+  }
+
+  test("chains compose: gold follows silver follows bronze") {
+    val (src, silver, log, split) = freshPair(morSrc = false)
+    val goldDir = TestSpark.tmpDir("graft-chain-gold")
+    val gold = LakeTable.create(spark, goldDir, numBuckets = 16)
+    ChainApply.sync(src, silver)
+    ChainApply.sync(silver, gold)
+    Ingest.replayLog(src, log.filter(col("seq") > split))
+    ChainApply.sync(src, silver)
+    ChainApply.sync(silver, gold)
+    assert(rows(gold) === rows(src))
+  }
+}

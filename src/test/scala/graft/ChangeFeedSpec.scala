@@ -122,6 +122,17 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(got === wantExpired)
   }
 
+  test("rebucket inside the window: dual-modulus pruning, zero phantom changes") {
+    val (table, v1, v2, events, split) = twoPhase(morMode = false)
+    val want = expectedChanges(events, split)
+    Maintenance.rebucket(table, 32) // s2-side bucket count now differs from s1's
+    val v3 = table.snapshot.version
+    assert(table.snapshotAt(v3).numBuckets === 32 && table.snapshotAt(v1).numBuckets === 16)
+    assert(ChangeFeed.changesBetween(table, v2, v3).isEmpty,
+      "a rebucket commit is not a change")
+    assert(feedRows(ChangeFeed.changesBetween(table, v1, v3)) === want)
+  }
+
   test("schema evolution inside the window: new column surfaces, pre-images project by id") {
     val c = cfg.copy(seed = 99L, nEvents = 8000L, ddlEvery = 1500L)
     val (table, v1, v2, events, split) = twoPhase(morMode = false, c)
