@@ -73,6 +73,40 @@ object IncrementalBench {
       println(f"[incr] batch $b%2d: keys=$keysPerBatch filesRewritten=${r.filesRewritten}%3d/" +
         f"$totalFiles rowsRewritten=$rewrittenRows%7d/$totalRows sec=$sec%5.2f")
     }
+    // ---- change feed: serving a window must cost O(window), not O(table).
+    // Counterfactual: the same net-change classification computed by
+    // full-outer-diffing two COMPLETE snapshot reads (what a consumer
+    // without manifest-diff candidates + hkey pruning would pay).
+    def timedSec(body: => Unit): Double = {
+      val t = System.nanoTime(); body; (System.nanoTime() - t) / 1e9
+    }
+    val vHead = table.snapshot.version
+    var feedRows = 0L
+    var feedStats: graft.lake.ChangeFeed.FeedStats = null
+    val feedLastSec = timedSec {
+      val (df, st) = graft.lake.ChangeFeed.changesBetweenWithStats(table, vHead - 1, vHead)
+      feedStats = st; feedRows = df.count()
+    }
+    val feedAllSec = timedSec {
+      graft.lake.ChangeFeed.changesBetween(table, 1, vHead).count(); ()
+    }
+    val blindDiffSec = timedSec {
+      val o = table.readInternal(table.snapshotAt(vHead - 1),
+        table.snapshotAt(vHead - 1).files)
+        .select(col("repo"), col("path"), col("_seq").as("oseq")).alias("o")
+      val n = table.readInternal(table.snapshot, table.snapshot.files)
+        .select(col("repo"), col("path"), col("_seq").as("nseq")).alias("n")
+      o.join(n, Seq("repo", "path"), "full_outer")
+        .filter(col("oseq").isNull || col("nseq").isNull || col("oseq") =!= col("nseq"))
+        .count(); ()
+    }
+    println(f"[incr] change feed: last-batch window $feedLastSec%5.2f s " +
+      f"($feedRows changes of $totalRows rows; read ${feedStats.rowsInScope} rows in " +
+      f"${feedStats.oldFilesRead + feedStats.newFilesRead} files = " +
+      f"${feedStats.scanFraction * 100}%.1f%% of a both-sides scan), " +
+      f"all-batches window $feedAllSec%5.2f s, " +
+      f"blind full-diff $blindDiffSec%5.2f s (time ratio ${feedLastSec / blindDiffSec}%.3f)")
+
     // ---- merge-on-read: the SAME batches as delta appends + one fold ----
     // Steady-state write cost: COW pays O(files whose key range is hit) per
     // batch; MOR pays O(batch) per batch and defers the rewrite to one fold.
@@ -264,6 +298,11 @@ object IncrementalBench {
       f""""partialFoldRewriteRatio":${oneBucketRows.toDouble / math.max(1L, scatterRows)}%.4f,""" +
       f""""prunedReadSec":$prunedReadSec%.2f,"blindReadSec":$blindReadSec%.2f,""" +
       f""""readPruneRatio":${prunedReadSec / blindReadSec}%.3f,""" +
+      f""""feedLastBatchSec":$feedLastSec%.2f,"feedAllBatchesSec":$feedAllSec%.2f,""" +
+      f""""feedBlindDiffSec":$blindDiffSec%.2f,""" +
+      f""""feedTimeRatio":${feedLastSec / blindDiffSec}%.3f,""" +
+      f""""feedRowsRead":${feedStats.rowsInScope},""" +
+      f""""feedScanFraction":${feedStats.scanFraction}%.4f,""" +
       f""""sigBatch":$sigBatchN,""" +
       f""""sigCorpus1":$sigN1,"sigIncr1Sec":$sigIncr1%.2f,"sigFull1Sec":$sigFull1%.2f,""" +
       f""""sigCorpus2":$sigN2,"sigIncr2Sec":$sigIncr2%.2f,"sigFull2Sec":$sigFull2%.2f,""" +

@@ -204,13 +204,15 @@ object Main {
       val table = LakeTable.load(spark, args(1))
       val from = args(2).toLong
       val to = if (args.length > 3) args(3).toLong else table.snapshot.version
-      val feed = graft.lake.ChangeFeed.changesBetween(table, from, to)
-        .localCheckpoint(true)
+      val (feed0, st) = graft.lake.ChangeFeed.changesBetweenWithStats(table, from, to)
+      val feed = feed0.localCheckpoint(true)
       import org.apache.spark.sql.functions.{col, count, lit}
       val byOp = feed.groupBy(col(graft.lake.ChangeFeed.OpColName))
         .agg(count(lit(1)).as("n")).collect()
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
-      println(s"changes ($from, $to]: ${feed.count()} rows {$byOp}")
+      println(s"changes ($from, $to]: ${feed.count()} rows {$byOp}; " +
+        f"read ${st.rowsInScope} rows in ${st.oldFilesRead + st.newFilesRead} files " +
+        f"(${st.scanFraction * 100}%.1f%% of a both-sides table scan)")
       feed.orderBy("repo", "path").show(20, truncate = 60)
 
     case "chain" => // derived-table sync off the source's change feed
@@ -218,10 +220,24 @@ object Main {
       val dst =
         if (LakeTable.exists(args(2))) LakeTable.load(spark, args(2))
         else LakeTable.create(spark, args(2), numBuckets = src.numBuckets)
-      val r = graft.ingest.ChainApply.sync(src, dst)
-      println(s"chained ${args(2)} <- ${args(1)}: window=(${r.fromVersion}, ${r.toVersion}] " +
-        s"applied=${r.applied} deadLetters=${r.deadLetters}")
-      report(spark, args(2))
+      def syncOnce(): Unit = {
+        val r = graft.ingest.ChainApply.sync(src, dst)
+        println(s"chained ${args(2)} <- ${args(1)}: window=(${r.fromVersion}, ${r.toVersion}] " +
+          s"applied=${r.applied} deadLetters=${r.deadLetters}")
+      }
+      val intervalSec = if (args.length > 3) args(3).toInt else -1
+      if (intervalSec < 0) { syncOnce(); report(spark, args(2)) }
+      else { // continuous chain: poll the source, `Main stop <dstTable>` ends it
+        val marker = java.nio.file.Paths.get(args(2), "_control", "stop")
+        println(s"chaining every ${intervalSec}s; `stop ${args(2)}` ends it after the next sync")
+        while (!java.nio.file.Files.exists(marker)) {
+          syncOnce()
+          Thread.sleep(intervalSec * 1000L)
+        }
+        java.nio.file.Files.deleteIfExists(marker)
+        println("chain stopped")
+        report(spark, args(2))
+      }
 
     case "compact" =>
       val table = LakeTable.load(spark, args(1))
@@ -291,7 +307,8 @@ object Main {
       |  fold    <tableDir>                 # compact merge-on-read deltas into base
       |  readat  <tableDir> <version>       # time travel: read an older committed version
       |  changes <tableDir> <fromVersion> [toVersion]  # change data feed over (from, to]
-      |  chain   <srcTable> <dstTable>      # sync a derived table off the source's change feed
+      |  chain   <srcTable> <dstTable> [intervalSec]  # sync a derived table off the source's
+      |                                     # change feed (interval ⇒ continuous; `stop <dst>` ends)
       |  compact <tableDir> [tombstoneHorizonSeq]
       |  rebucket <tableDir> <newBuckets>
       |  expire  <tableDir> [keepSnapshots]

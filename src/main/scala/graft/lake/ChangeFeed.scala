@@ -54,6 +54,21 @@ object ChangeFeed {
     * envelopes. ~1.6 MB of longs at the cap. */
   val MaxExactPruneKeys = 100000
 
+  /** What the feed READ, off the manifests — the O(window)-vs-O(table)
+    * evidence (at 100 TB `rowsInScope / tableRows` is the whole story):
+    * candidate derivation reads the added (+ removed, on tombstone expiry)
+    * files; state resolution reads the hkey-pruned neighborhoods of each
+    * side. All row counts are manifest stats, no extra jobs. */
+  final case class FeedStats(
+      addedBaseFiles: Int, addedDeltaFiles: Int, removedBaseFiles: Int,
+      oldFilesRead: Int, oldRowsRead: Long,
+      newFilesRead: Int, newRowsRead: Long,
+      tableFiles: Int, tableRows: Long) {
+    def rowsInScope: Long = oldRowsRead + newRowsRead
+    def scanFraction: Double =
+      if (tableRows == 0L) 0.0 else rowsInScope.toDouble / (2.0 * tableRows)
+  }
+
   /** Net row-level changes in `(fromVersion, toVersion]`, as
     * (repo, path, change_op, <current-schema non-key columns>, _seq).
     * Non-key columns carry the `to`-image for insert/update and the
@@ -61,12 +76,20 @@ object ChangeFeed {
     * (the tombstone's for a delete; null only for a tombstone-expired
     * delete). Old-version rows are projected to `to`'s CURRENT schema by
     * column id, so renames/widens inside the window diff correctly. */
-  def changesBetween(table: LakeTable, fromVersion: Long, toVersion: Long): DataFrame = {
+  def changesBetween(table: LakeTable, fromVersion: Long, toVersion: Long): DataFrame =
+    changesBetweenWithStats(table, fromVersion, toVersion)._1
+
+  /** [[changesBetween]] plus the manifest-derived IO stats. */
+  def changesBetweenWithStats(table: LakeTable, fromVersion: Long, toVersion: Long)
+      : (DataFrame, FeedStats) = {
     require(fromVersion <= toVersion,
       s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
     val spark = table.spark
     val s2 = table.snapshotAt(toVersion)
-    if (fromVersion == toVersion) return emptyFeed(table, s2)
+    def emptyStats: FeedStats = FeedStats(0, 0, 0, 0, 0L, 0, 0L,
+      s2.files.size + s2.deltaFiles.size,
+      s2.files.iterator.map(_.rows).sum + s2.deltaFiles.iterator.map(_.rows).sum)
+    if (fromVersion == toVersion) return (emptyFeed(table, s2), emptyStats)
     val s1 = table.snapshotAt(fromVersion)
 
     // ---- 1. files the window added (metadata-only diff)
@@ -97,7 +120,9 @@ object ChangeFeed {
         Some(spark.read.option("mergeSchema", "true")
           .parquet(addedDelta.map(f => table.resolve(f.path)): _*)
           .select(col("repo"), col("path"))) else None).flatten
-    if (candParts.isEmpty) return emptyFeed(table, s2) // fence/metrics-only commits
+    if (candParts.isEmpty) // fence/metrics-only commits
+      return (emptyFeed(table, s2), emptyStats.copy(
+        removedBaseFiles = removedBase.size))
     // materialized once: feeds the range aggregate and both semi joins
     val candKeys = candParts.reduce(_ unionByName _).distinct().localCheckpoint(true)
 
@@ -154,10 +179,10 @@ object ChangeFeed {
     // ---- 4. both versions' states over the pruned neighborhoods, candidate
     //         keys only (prunes are per-key supersets; the semi join removes
     //         keys a one-sided prune covers only partially)
-    val old0 = MorRead.resolveInternalOn(table, s1,
-      pruneBase1(s1.files), pruneDelta1(s1.deltaFiles))
-    val new0 = MorRead.resolveInternalOn(table, s2,
-      pruneBase2(s2.files), pruneDelta2(s2.deltaFiles))
+    val oldBase = pruneBase1(s1.files); val oldDelta = pruneDelta1(s1.deltaFiles)
+    val newBase = pruneBase2(s2.files); val newDelta = pruneDelta2(s2.deltaFiles)
+    val old0 = MorRead.resolveInternalOn(table, s1, oldBase, oldDelta)
+    val new0 = MorRead.resolveInternalOn(table, s2, newBase, newDelta)
 
     // old rows projected to the CURRENT schema by column id (rename/widen-safe)
     val cur = s2.schema
@@ -182,7 +207,15 @@ object ChangeFeed {
           col(s"n.${LakeTable.SeqCol}") =!= col(s"o.${LakeTable.SeqCol}"), lit("update"))
         .when(!aliveN && aliveO, lit("delete"))
     val nonKey = cur.columns.filter(c => c.name != "repo" && c.name != "path")
-    o.join(n,
+    val stats = FeedStats(
+      addedBase.size, addedDelta.size, removedBase.size,
+      oldBase.size + oldDelta.size,
+      oldBase.iterator.map(_.rows).sum + oldDelta.iterator.map(_.rows).sum,
+      newBase.size + newDelta.size,
+      newBase.iterator.map(_.rows).sum + newDelta.iterator.map(_.rows).sum,
+      s2.files.size + s2.deltaFiles.size,
+      s2.files.iterator.map(_.rows).sum + s2.deltaFiles.iterator.map(_.rows).sum)
+    val feed = o.join(n,
         col("o.repo") === col("n.repo") && col("o.path") === col("n.path"), "full_outer")
       .select(
         (Seq(
@@ -194,6 +227,7 @@ object ChangeFeed {
               .otherwise(col(s"n.${c.name}")).as(c.name)) :+
           col(s"n.${LakeTable.SeqCol}").as(LakeTable.SeqCol)): _*)
       .filter(col(OpColName).isNotNull)
+    (feed, stats)
   }
 
   /** Zero changes, under the feed's output schema for `s`'s current schema. */
