@@ -202,11 +202,16 @@ object SparkEntry {
 
   private[graft] def twoPhaseTableCached(s: SparkSession, dir: String)
       : (graft.lake.LakeTable, Long, Long) = {
-    val (t, v1, v2, _) = twoPhaseCache.computeIfAbsent(dir, _ => {
-      val r = twoPhaseTable(s, dir)
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r._4))))
-      r
+    val (t, v1, v2, _) = twoPhaseCache.compute(dir, (_, cached) => {
+      // a cached handle is bound to the session that built it — rebuild if
+      // that session has been stopped since (same JVM, fresh SparkSession)
+      if (cached != null && !cached._1.spark.sparkContext.isStopped) cached
+      else {
+        val r = twoPhaseTable(s, dir)
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r._4))))
+        r
+      }
     })
     (t, v1, v2)
   }

@@ -225,15 +225,23 @@ object Main {
         println(s"chained ${args(2)} <- ${args(1)}: window=(${r.fromVersion}, ${r.toVersion}] " +
           s"applied=${r.applied} deadLetters=${r.deadLetters}")
       }
-      val intervalSec = if (args.length > 3) args(3).toInt else -1
+      val intervalSec = if (args.length > 3) math.max(1, args(3).toInt) else -1
       if (intervalSec < 0) { syncOnce(); report(spark, args(2)) }
       else { // continuous chain: poll the source, `Main stop <dstTable>` ends it
         val marker = java.nio.file.Paths.get(args(2), "_control", "stop")
-        println(s"chaining every ${intervalSec}s; `stop ${args(2)}` ends it after the next sync")
-        while (!java.nio.file.Files.exists(marker)) {
+        println(s"chaining every ${intervalSec}s; `stop ${args(2)}` ends it after a final sync")
+        var stop = false
+        while (!stop) {
           syncOnce()
-          Thread.sleep(intervalSec * 1000L)
+          // 1 s-granular interruptible sleep: a stop during the wait still
+          // gets its FINAL sync (the loop body above) before exiting
+          var slept = 0
+          while (!stop && slept < intervalSec) {
+            Thread.sleep(1000L); slept += 1
+            stop = java.nio.file.Files.exists(marker)
+          }
         }
+        syncOnce() // the promised final sync after the stop request
         java.nio.file.Files.deleteIfExists(marker)
         println("chain stopped")
         report(spark, args(2))

@@ -121,8 +121,7 @@ object ChangeFeed {
           .parquet(addedDelta.map(f => table.resolve(f.path)): _*)
           .select(col("repo"), col("path"))) else None).flatten
     if (candParts.isEmpty) // fence/metrics-only commits
-      return (emptyFeed(table, s2), emptyStats.copy(
-        removedBaseFiles = removedBase.size))
+      return (emptyFeed(table, s2), emptyStats)
     // materialized once: feeds the range aggregate and both semi joins
     val candKeys = candParts.reduce(_ unionByName _).distinct().localCheckpoint(true)
 

@@ -97,6 +97,62 @@ class ChainApplySpec extends AnyFunSuite {
     assert(all(dst) === all(src))
   }
 
+  test("fresh destination bootstraps off an aged source (expired early snapshots); expired cursor fails clearly") {
+    val (src, dst, log, split) = freshPair(morSrc = false)
+    Ingest.replayLog(src, log.filter(col("seq") > split))
+    graft.lake.Maintenance.expireSnapshots(src, keep = 2, graceMs = 0L)
+    intercept[Exception](src.snapshotAt(0L)) // fixture: v0 really is gone
+
+    // bootstrap: full-state seed, no dependence on v0..N retention
+    val r = ChainApply.sync(src, dst)
+    assert(r.fromVersion === 0L && r.applied > 0)
+    assert(rows(dst) === rows(src))
+
+    // an EXPIRED cursor (not a fresh dst) must fail with a clear error
+    (1 to 3).foreach(_ => graft.lake.Maintenance.compact(src, force = true))
+    graft.lake.Maintenance.expireSnapshots(src, keep = 2, graceMs = 0L)
+    val ex = intercept[IllegalStateException](ChainApply.sync(src, dst))
+    assert(ex.getMessage.contains("re-bootstrap"))
+  }
+
+  test("source rename_column propagates as a rename, not a null new column") {
+    import graft.ingest.MergeApply
+    val srcDir = TestSpark.tmpDir("graft-chain-ren-src")
+    val dstDir = TestSpark.tmpDir("graft-chain-ren-dst")
+    val src = LakeTable.create(spark, srcDir, numBuckets = 4)
+    val dst = LakeTable.create(spark, dstDir, numBuckets = 4)
+    src.evolveSchema(_.addColumn("x", "string"))
+    def batch(ids: Seq[Int], seqBase: Long, xv: String) = {
+      import spark.implicits._
+      ids.toDF("id").select(
+        lit("r").as("repo"), concat(lit("p"), col("id")).as("path"),
+        lit("insert").as("op"), (col("id") + seqBase).as("seq"),
+        struct(lit("r").as("repo"), concat(lit("p"), col("id")).as("path"),
+          lit("c").as("commit"), lit("scala").as("lang"),
+          concat(lit("body"), col("id")).as("content"),
+          concat(lit(xv), col("id")).as("x")).as("after"))
+    }
+    MergeApply.merge(src, batch(0 until 20, 0L, "xv"), Map.empty)
+    ChainApply.sync(src, dst) // dst now holds x with VALUES
+
+    src.evolveSchema(_.renameColumn("x", "y"))
+    // only key p0 is re-delivered after the rename; every other row's y value
+    // must still survive in dst THROUGH the rename (the divergence the
+    // name-only catch-up caused: a fresh null 'y' column + a stale 'x')
+    MergeApply.merge(src,
+      batch(Seq(0), 100L, "xv").withColumn("after",
+        col("after").withField("x", lit("renamed-then-updated"))), Map.empty)
+    ChainApply.sync(src, dst)
+
+    val dstCols = dst.refresh().schema.columns.map(_.name)
+    assert(dstCols.contains("y") && !dstCols.contains("x"))
+    def yVals(t: LakeTable) = t.read().select(col("path"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(yVals(dst) === yVals(src))
+    assert(yVals(dst)("p0") === "renamed-then-updated") // post-rename update landed
+    assert(yVals(src).count(_._2 != null) === 20, "source must carry y values")
+  }
+
   test("chains compose: gold follows silver follows bronze") {
     val (src, silver, log, split) = freshPair(morSrc = false)
     val goldDir = TestSpark.tmpDir("graft-chain-gold")
