@@ -127,7 +127,16 @@ object ChainApply {
             .flatMap(_.columns.find(_.id == c.id).map(_.name))
             .find(n => n != c.name && dst.schema.find(n).isDefined)
           formerName match {
-            case Some(old) => dst.evolveSchema(_.renameColumn(old, c.name)); ()
+            case Some(old) =>
+              dst.evolveSchema(_.renameColumn(old, c.name))
+              // a widen RIDING the same window as the rename (add→widen→
+              // rename chains): follow it now, or this batch's wider values
+              // would cast down into the narrower destination column
+              val dc = dst.schema.find(c.name).get
+              if (dc.dataType != c.dataType &&
+                  TableSchema.canWiden(dc.dataType, c.dataType)) {
+                dst.evolveSchema(_.widenType(c.name, c.dataType)); ()
+              }
             case None => dst.evolveSchema(_.addColumn(c.name, c.dataType)); ()
           }
       }

@@ -153,6 +153,35 @@ class ChainApplySpec extends AnyFunSuite {
     assert(yVals(src).count(_._2 != null) === 20, "source must carry y values")
   }
 
+  test("widen and rename landing in ONE sync window both propagate (no narrowing cast)") {
+    import graft.ingest.MergeApply
+    val src = LakeTable.create(spark, TestSpark.tmpDir("graft-chain-wr-src"), numBuckets = 4)
+    val dst = LakeTable.create(spark, TestSpark.tmpDir("graft-chain-wr-dst"), numBuckets = 4)
+    src.evolveSchema(_.addColumn("n", "int"))
+    def batch(ids: Seq[Int], seqBase: Long, nv: org.apache.spark.sql.Column) = {
+      import spark.implicits._
+      ids.toDF("id").select(
+        lit("r").as("repo"), concat(lit("p"), col("id")).as("path"),
+        lit("insert").as("op"), (col("id") + seqBase).as("seq"),
+        struct(lit("r").as("repo"), concat(lit("p"), col("id")).as("path"),
+          lit("c").as("commit"), lit("scala").as("lang"),
+          lit("body").as("content"), nv.as("n")).as("after"))
+    }
+    MergeApply.merge(src, batch(0 until 8, 0L, lit(7).cast("int")), Map.empty)
+    ChainApply.sync(src, dst) // dst: n int
+    // one window: widen n to long, rename n -> m, and deliver a value that
+    // does not fit in int — a narrowing cast would mangle it
+    src.evolveSchema(_.widenType("n", "long"))
+    src.evolveSchema(_.renameColumn("n", "m"))
+    val big = 5000000000L // > Int.MaxValue
+    MergeApply.merge(src, batch(Seq(0), 100L, lit(big).cast("long")), Map.empty)
+    ChainApply.sync(src, dst)
+    val m = dst.refresh().schema.find("m").get
+    assert(m.dataType === "long", s"dst column must be widened, got ${m.dataType}")
+    val got = dst.read().filter(col("path") === "p0").select(col("m")).head().getLong(0)
+    assert(got === big)
+  }
+
   test("chains compose: gold follows silver follows bronze") {
     val (src, silver, log, split) = freshPair(morSrc = false)
     val goldDir = TestSpark.tmpDir("graft-chain-gold")
