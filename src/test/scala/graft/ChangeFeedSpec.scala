@@ -146,6 +146,14 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(feedRows(feed) === expectedChanges(events, split))
   }
 
+  test("retained window still serves after snapshot expiry; an expired from-version throws") {
+    val (table, v1, v2, events, split) = twoPhase(morMode = false)
+    Maintenance.expireSnapshots(table, keep = 2, graceMs = 0L) // keeps v1, v2; drops v0
+    assert(feedRows(ChangeFeed.changesBetween(table, v1, v2)) ===
+      expectedChanges(events, split), "retained window must be unaffected by expiry")
+    intercept[Exception](ChangeFeed.changesBetween(table, 0L, v2))
+  }
+
   test("old-version base files outside the candidate neighborhoods are never read") {
     // big first batch over many narrow files, tiny second batch over few keys
     val c = cfg.copy(seed = 5L, nEvents = 20000L, nRepos = 200, pathsPerRepo = 20)
