@@ -107,6 +107,26 @@ object IncrementalBench {
       f"all-batches window $feedAllSec%5.2f s, " +
       f"blind full-diff $blindDiffSec%5.2f s (time ratio ${feedLastSec / blindDiffSec}%.3f)")
 
+    // ---- chained table: bootstrap once (O(state)), then follow a 20-key
+    // window (O(window)) — the derived-table steady-state cost
+    val chainDst = LakeTable.create(spark, s"$work/chain", numBuckets = 64,
+      targetFileRows = math.max(1024L, nBase / 64 / 8))
+    val chainBootstrapSec = timedSec {
+      graft.ingest.ChainApply.sync(table, chainDst); ()
+    }
+    val chainKeys = Iterator.continually(math.abs(rnd.nextLong()) % nBase)
+      .distinct.take(keysPerBatch).toSeq
+    MergeApply.merge(table, delta(chainKeys, "update", nBase * 99), Map.empty)
+    var chainApplied = 0L
+    val chainIncrSec = timedSec {
+      chainApplied = graft.ingest.ChainApply.sync(table, chainDst).applied
+    }
+    require(chainApplied >= keysPerBatch.toLong,
+      s"chain window applied $chainApplied < $keysPerBatch")
+    println(f"[incr] chained table: bootstrap $chainBootstrapSec%5.2f s " +
+      f"($nBase rows), incremental window $chainIncrSec%5.2f s " +
+      f"($chainApplied changes applied)")
+
     // ---- merge-on-read: the SAME batches as delta appends + one fold ----
     // Steady-state write cost: COW pays O(files whose key range is hit) per
     // batch; MOR pays O(batch) per batch and defers the rewrite to one fold.
@@ -303,6 +323,8 @@ object IncrementalBench {
       f""""feedTimeRatio":${feedLastSec / blindDiffSec}%.3f,""" +
       f""""feedRowsRead":${feedStats.rowsInScope},""" +
       f""""feedScanFraction":${feedStats.scanFraction}%.4f,""" +
+      f""""chainBootstrapSec":$chainBootstrapSec%.2f,""" +
+      f""""chainIncrWindowSec":$chainIncrSec%.2f,"chainIncrApplied":$chainApplied,""" +
       f""""sigBatch":$sigBatchN,""" +
       f""""sigCorpus1":$sigN1,"sigIncr1Sec":$sigIncr1%.2f,"sigFull1Sec":$sigFull1%.2f,""" +
       f""""sigCorpus2":$sigN2,"sigIncr2Sec":$sigIncr2%.2f,"sigFull2Sec":$sigFull2%.2f,""" +
