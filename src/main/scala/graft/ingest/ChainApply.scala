@@ -102,7 +102,12 @@ object ChainApply {
       when(opC =!= "delete", img).as("after"),
       lit(null).cast(graft.model.Schemas.ddlOp).as("ddl"))
 
-    val bm = Ingest.applyBatch(dst, batch, batchId = to, cfg)
+    // applyBatch scans its input 2-3× (stats, dedup, write) — cheap for a
+    // parquet micro-batch, wasteful for the feed's join DAG. Materialize the
+    // WINDOW batch (O(window), safe); leave the bootstrap's plain parquet
+    // scan lazy (O(state) storage would not be — rescans are cheap there).
+    val applied = if (from == 0L) batch else batch.localCheckpoint(true)
+    val bm = Ingest.applyBatch(dst, applied, batchId = to, cfg)
     ChainResult(from, to, bm.eventsApplied, bm.deadLetters)
   }
 
