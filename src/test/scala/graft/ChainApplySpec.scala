@@ -182,6 +182,28 @@ class ChainApplySpec extends AnyFunSuite {
     assert(got === big)
   }
 
+  test("window composition: syncing after every source batch converges at arbitrary split points") {
+    val c = cfg.copy(seed = 123L)
+    val src = LakeTable.create(spark, TestSpark.tmpDir("graft-chain-comp-src"), numBuckets = 16)
+    val dst = LakeTable.create(spark, TestSpark.tmpDir("graft-chain-comp-dst"), numBuckets = 16)
+    val log = ChangelogGen.events(spark, c).toDF()
+    // uneven, seeded split points — windows of very different sizes
+    val rnd = new scala.util.Random(99)
+    val cuts = (Seq(0L) ++ Seq.fill(5)(math.abs(rnd.nextLong()) % c.nEvents) :+ c.nEvents)
+      .distinct.sorted
+    cuts.sliding(2).foreach { case Seq(lo, hi) =>
+      Ingest.replayLog(src, log.filter(col("seq") > lo && col("seq") <= hi))
+      ChainApply.sync(src, dst)
+      ()
+    }
+    assert(rows(dst) === rows(src))
+    // per-row last-writer seq must ride through every window too
+    def seqs(t: LakeTable) = t.readAllInternal().filter(!col("_deleted"))
+      .select(col("repo"), col("path"), col("_seq"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(seqs(dst) === seqs(src))
+  }
+
   test("chains compose: gold follows silver follows bronze") {
     val (src, silver, log, split) = freshPair(morSrc = false)
     val goldDir = TestSpark.tmpDir("graft-chain-gold")
