@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Round-7 optimization harness (guide §1: measure first) — SEPARATE from the
+  * frozen [[Bench]]:
+  *
+  *  - `plans <tag>`: dump `.explain("formatted")` of every SparkEntry query to
+  *    `plans/r07/<query>_<tag>.txt` (the judge-checkable plan evidence).
+  *  - `micro <repeats> [query...]`: time chosen queries (all when omitted)
+  *    `repeats` times each under the same session conf as Bench, reporting
+  *    min/median — plus a per-JOB trace (job description → seconds) so the
+  *    composite store-backed queries show where their time goes.
+  *
+  * Measurement methodology matches Bench (`.count()` action, warmup of the
+  * parquet readers + the two codegen-heavy queries) so numbers are comparable;
+  * this main adds nothing to the frozen harness and is never run by the driver.
+  */
+object BenchExtra {
+
+  final class JobTrace extends SparkListener {
+    val rows = new scala.collection.mutable.ArrayBuffer[(Int, String, Long)]
+    private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]
+    override def onJobStart(js: SparkListenerJobStart): Unit = {
+      val desc = Option(js.properties.getProperty("spark.job.description")).getOrElse("")
+      starts.put(js.jobId, (desc, js.time))
+    }
+    override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+      val s = starts.remove(je.jobId)
+      if (s != null) rows.synchronized { rows += ((je.jobId, s._1, je.time - s._2)) }
+    }
+    def drain(): Seq[(Int, String, Long)] = rows.synchronized {
+      val r = rows.toSeq; rows.clear(); r
+    }
+  }
+
+  def session(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.files.maxPartitionBytes", "33554432")
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    .config("spark.io.compression.codec", sys.env.getOrElse("GRAFT_SHUFFLE_CODEC", "zstd"))
+    .config("spark.local.dir",
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
+      else "/tmp")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+    Seq("events", "documents", "embeddings", "nation").foreach { tbl =>
+      try spark.read.parquet(s"$sfDir/$tbl.parquet").count() catch { case _: Throwable => }
+    }
+    try SparkEntry.queries("ann_cosine_topk")(spark, sfDir).count() catch { case _: Throwable => }
+    try SparkEntry.queries("ann_ivf_topk")(spark, sfDir).count() catch { case _: Throwable => }
+    try SparkEntry.twoPhaseTableCached(spark, sfDir) catch { case _: Throwable => }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mode = if (args.nonEmpty) args(0) else "micro"
+    val spark = session(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+
+    mode match {
+      case "plans" =>
+        val tag = if (args.length > 1) args(1) else "before"
+        val outDir = java.nio.file.Paths.get("plans/r07")
+        java.nio.file.Files.createDirectories(outDir)
+        warmup(spark, sfDir)
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          try {
+            val df = fn(spark, sfDir)
+            val plan = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            java.nio.file.Files.writeString(outDir.resolve(s"${name}_$tag.txt"), plan)
+            println(s"[plans] $name -> ${name}_$tag.txt (${plan.length} chars)")
+          } catch { case e: Throwable => println(s"[plans] $name FAILED: $e") }
+        }
+
+      case "micro" =>
+        val repeats = if (args.length > 1) args(1).toInt else 3
+        val wanted = if (args.length > 2) args.drop(2).toSeq
+                     else SparkEntry.queries.keys.toSeq.sorted
+        val trace = new JobTrace
+        spark.sparkContext.addSparkListener(trace)
+        warmup(spark, sfDir)
+        Thread.sleep(200); trace.drain()
+        val results = wanted.map { name =>
+          val fn = SparkEntry.queries(name)
+          val times = (1 to repeats).map { i =>
+            spark.sparkContext.setJobDescription(s"$name#$i")
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).count() catch { case e: Throwable => println(s"$name ERR $e"); -1L }
+            val sec = (System.nanoTime() - t0) / 1e9
+            spark.sparkContext.setJobDescription(null)
+            Thread.sleep(100)
+            val jobs = trace.drain()
+            if (sys.env.contains("GRAFT_TRACE_JOBS") && i == repeats)
+              jobs.foreach { case (id, d, ms) => println(f"    job $id%4d ${ms / 1e3}%7.3f s  $d") }
+            sec
+          }.sorted
+          val med = times(times.length / 2)
+          println(f"[micro] $name%-25s min=${times.head}%7.3f med=$med%7.3f max=${times.last}%7.3f")
+          name -> (times.head, med)
+        }
+        println(f"[micro] TOTAL min=${results.map(_._2._1).sum}%.3f med=${results.map(_._2._2).sum}%.3f")
+
+      case "fixture" =>
+        val (t, v1, v2) = SparkEntry.twoPhaseTableCached(spark, sfDir)
+        val s1 = t.snapshotAt(v1); val s2 = t.snapshotAt(v2)
+        println(s"[fixture] v1=$v1 base=${s1.files.size} delta=${s1.deltaFiles.size} rows=${s1.files.map(_.rows).sum}")
+        println(s"[fixture] v2=$v2 base=${s2.files.size} delta=${s2.deltaFiles.size} rows=${s2.files.map(_.rows).sum}")
+        println(s"[fixture] numBuckets=${s2.numBuckets}")
+        s2.files.groupBy(_.path.split("/").head).foreach { case (k, v) =>
+          println(s"[fixture] commit-dir $k: ${v.size} files, ${v.map(_.rows).sum} rows, ${v.map(_.bytes).sum} bytes") }
+        println("[fixture] sample paths:\n  " + s2.files.take(5).map(_.path).mkString("\n  "))
+        val parts = s2.files.map(_.path.split("/").last.split("-")(1).toInt)
+        println(s"[fixture] distinct part numbers: ${parts.distinct.size} max=${parts.max}")
+        val byBucket = s2.files.groupBy(_.bucket).view.mapValues(_.size).toMap
+        println(s"[fixture] files per bucket: min=${byBucket.values.min} max=${byBucket.values.max}")
+        println(s"[fixture] rows per file: min=${s2.files.map(_.rows).min} max=${s2.files.map(_.rows).max}")
+
+      case "joinprobe" =>
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val a = (0 until 1000).map(i => (s"r$i", s"p$i", i)).toDF("repo", "path", "x")
+          .withColumn("_jb", pmod(hash(col("repo"), col("path")), lit(16)))
+          .repartition(16, col("_jb")).alias("b")
+        val d = (500 until 1500).map(i => (s"r$i", s"p$i", i)).toDF("repo", "path", "y")
+          .withColumn("_jb", pmod(hash(col("repo"), col("path")), lit(16)))
+          .repartition(16, col("_jb")).alias("d")
+        val j = a.join(d, col("b._jb") === col("d._jb") &&
+          col("b.repo") === col("d.repo") && col("b.path") === col("d.path"), "full_outer")
+        println("conf=" + spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition"))
+        j.explain("formatted")
+
+      case other => println(s"unknown mode: $other (use plans|micro|fixture|joinprobe)")
+    }
+    spark.stop()
+  }
+}

@@ -39,8 +39,10 @@ object Main {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // engine-owned: bucket-aligned merges co-partition on a SUBSET of the
-      // join keys (see MergeApply.ensurePlanConf)
+      // historical engine default (harmless): kept so sessions stay
+      // conf-comparable across rounds; the merge no longer relies on subset
+      // co-partitioning (Spark 4 rewrites pre-join repartitions anyway — the
+      // write is bucket-routed explicitly, see MergeApply strategy 3)
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // zstd shuffle compression: the ingest shuffle carries near-full event
       // rows (content-heavy); zstd's higher ratio relieves the memory/IO

@@ -42,14 +42,18 @@ import org.apache.spark.sql.functions._
   *     a keys-only anti join (the base side shuffles 2 slim string columns,
   *     never content). This is what makes a 1-key batch cost O(1 file), not
   *     O(table).
-  *  3. '''bucket-aligned shuffle''' — large delta (initial load, bulk
-  *     replay): BOTH sides are repartitioned by the storage bucket function
-  *     and joined full-outer on (bucket[, salt], repo, path); since
-  *     HashPartitioning(bucket) satisfies the join's clustering requirement,
-  *     the join itself inserts NO further exchange, and the output is already
-  *     laid out for the bucket-partitioned write — one shuffle per side
-  *     total (the previous design paid an extra full shuffle of the merged
-  *     result).
+  *  3. '''shuffle merge + bucket-routed write''' — large delta (initial
+  *     load, bulk replay): full-outer join on the key (repo, path) — the
+  *     delta side usually arrives partitioned by exactly those keys from the
+  *     ingest's LWW dedup, so only the base side exchanges — then ONE
+  *     explicit repartition of the merged output on (_bucket[, salt]) feeds
+  *     the partitioned write, bounding the commit's file count at
+  *     buckets × salt. (An earlier design joined on (bucket[, salt], repo,
+  *     path) with both sides pre-repartitioned by bucket, expecting subset
+  *     co-partitioning to make the join exchange double as the write layout;
+  *     Spark 4 rewrites those repartitions into a full-key exchange, which
+  *     silently degraded every commit into a tasks × buckets small-file
+  *     fan-out — a 1.5k-row commit wrote 492 files of 1-11 rows.)
   *
   * Lineage metrics ride the write via `Dataset.observe` (no separate pass).
   * The delta is deliberately NOT cached on the shuffle path: rebuilding it
@@ -100,20 +104,6 @@ object MergeApply {
       case Some(v: java.lang.Long) => v.longValue()
       case _ => if (name == "maxSeq") -1L else 0L // max over empty = null = "no rows"
     }
-
-  /** Subset co-partitioning conf the engine OWNS on any session it merges in:
-    * HashPartitioning(_jb) must satisfy a join clustered on (_jb, repo, path)
-    * or strategy 3 re-shuffles both sides on all keys and destroys the
-    * bucket-aligned write layout. Set idempotently (same value from every
-    * writer — thread-safe without a lock) and never restored: the previous
-    * scoped set-and-restore needed a session-global lock that serialized
-    * concurrent merges on DIFFERENT tables. The default (true) only protects
-    * jobs that WANT a full re-shuffle on partial-key alignment, which no
-    * engine path does. */
-  private val CoPartConfKey = "spark.sql.requireAllClusterKeysForCoPartition"
-  private[graft] def ensurePlanConf(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (!spark.conf.getOption(CoPartConfKey).contains("false"))
-      spark.conf.set(CoPartConfKey, "false")
 
   final case class MergeResult(
       eventsApplied: Long,
@@ -671,35 +661,24 @@ object MergeApply {
           .unionByName(withLayout(inserts).repartition(pIns, col("_bucket"))))
       } finally d0.unpersist(blocking = false)
     } else {
-      // ---- strategy 3: bucket-aligned full-outer shuffle merge ----
-      val p = math.max(1, math.min(sel.buckets.size * saltN, shufflePartitions))
-      // a constant salt column would be constant-folded out of the join keys
-      // and break co-partitioning detection — only add it when salting
-      def prep(df: DataFrame, name: String): DataFrame = {
-        val withKeys = df.withColumn("_jb", table.bucketExpr(col("repo"), col("path")))
-        val salted =
-          if (saltN > 1) withKeys.withColumn("_js", pmod(hash(col("path")), lit(saltN)))
-          else withKeys
-        val parts = (Seq(col("_jb")) ++ (if (saltN > 1) Seq(col("_js")) else Nil))
-        salted.repartition(p, parts: _*).alias(name)
-      }
-      val b = prep(table.readInternal(snap, sel.files), "b")
-      val d = prep(delta, "d")
-      // HashPartitioning(_jb[, _js]) on both sides satisfies the join's
-      // clustering requirement (subset of the join keys), so no further
-      // exchange is planned for the join OR the bucket-partitioned write.
-      val saltCond =
-        if (saltN > 1) col("b._js") === col("d._js") else lit(true)
+      // ---- strategy 3: shuffle merge + bucket-routed write ----
+      // Join on the real key: the delta side's LWW dedup already hash-
+      // partitioned it by (repo, path), so the join reuses that exchange and
+      // only the base side shuffles. In the join there is no bucket skew to
+      // salt (one row per key per side); salt spreads the WRITE of a hot
+      // bucket across `saltN` tasks instead.
+      val b = table.readInternal(snap, sel.files).alias("b")
+      val d = delta.alias("d")
       val joined = b.join(d,
-        col("b._jb") === col("d._jb") && saltCond &&
-          col("b.repo") === col("d.repo") && col("b.path") === col("d.path"),
+        col("b.repo") === col("d.repo") && col("b.path") === col("d.path"),
         "full_outer")
-      // Subset co-partitioning: requireAllClusterKeysForCoPartition=false is
-      // an engine-owned session conf (see ensurePlanConf) — set idempotently
-      // here so even a direct MergeApply caller on a vanilla session plans
-      // the bucket-aligned shape; no lock, concurrent merges plan freely.
-      ensurePlanConf(spark)
-      observeAndWrite(withLayout(resolveMatched(joined)))
+      val merged = withLayout(resolveMatched(joined))
+      val p = math.max(1, math.min(sel.buckets.size * saltN, shufflePartitions))
+      val routed =
+        if (saltN > 1)
+          merged.repartition(p, col("_bucket"), pmod(hash(col("path")), lit(saltN)))
+        else merged.repartition(p, col("_bucket"))
+      observeAndWrite(routed)
     }
     val applied = metric(obs, "applied"); val tombstones = metric(obs, "tombstones")
     val upserts = metric(obs, "upserts"); val conflicts = metric(obs, "conflicts")
