@@ -145,14 +145,23 @@ object IvfIndex {
     // lets the list scan prune DIRECTORIES instead of filtering rows
     val probedIds = probes.select(col("cent_id")).distinct()
       .collect().map(_.getLong(0)).toSeq
+    // (query_id, vec_id) pairs are unique by construction — listsFor keeps
+    // exactly one LWW row per vec_id across the probed lists — so no distinct
+    // is needed, and the final ranking is a BOUNDED top-k aggregate
+    // (graft.functions.TopKAgg) rather than a row_number window: each task
+    // keeps at most k candidates per query (map-side partial agg), so a
+    // query's ~nProbe·N/C candidates never serialize through one window
+    // task's sort. Ordering (cos_e4 DESC NULLS LAST, neighbor_id ASC) is the
+    // window's exact tie order — results stay oracle-exact.
     val cand = probes.join(listsFor(spark, dir, probedIds), "cent_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(AnnSearch.cosineWithNorms(col("qe"), col("embedding"),
           col("qn"), col("nrm")) * 10000).cast("long").as("cos_e4"))
-      .distinct()
-    cand.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos_e4").desc, col("neighbor_id"))).cast("long"))
-      .filter(col("rank") <= k)
+    cand.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(col("cos_e4"), col("neighbor_id"), k).as("_tk"))
+      .select(col("query_id"), posexplode(col("_tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cos_e4"), (col("pos") + 1).cast("long").as("rank"))
   }
 }

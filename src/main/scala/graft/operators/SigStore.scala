@@ -19,7 +19,7 @@ import graft.functions.{TextDedup, VecExprs}
   *    batch's buckets map to a set of shards; the scan filter on `sp` is a
   *    partition filter, so Spark lists and reads ONLY those directories —
   *    the corpus outside them is never opened (asserted in SigStoreSpec).
-  *  - `head/hp=N/` — per-doc head rows `(doc, seq, alive, simhash)`,
+  *  - `head/hp=N/` — per-doc head rows `(doc, seq, alive)`,
   *    hash-partitioned by DOC. The head's latest seq decides which sig rows
   *    are live: an UPDATE moves a doc's band buckets between shards, so a
   *    matched sig row is served only when `seq == head.seq` and the doc is
@@ -65,8 +65,7 @@ object SigStore {
     StructField("seq", LongType), StructField("sp", IntegerType)))
   private val headSchema = StructType(Seq(
     StructField("doc", StringType), StructField("seq", LongType),
-    StructField("alive", BooleanType), StructField("simhash", LongType),
-    StructField("hp", IntegerType)))
+    StructField("alive", BooleanType), StructField("hp", IntegerType)))
 
   private def shardOf(c: Column, shards: Int): Column =
     pmod(xxhash64(c), lit(shards)).cast("int")
@@ -124,13 +123,12 @@ object SigStore {
       .withColumn("sp", shardOf(col("bucket"), cfg.shards))
       .repartition(col("sp"))
       .write.mode("append").partitionBy("sp").parquet(sigDir(dir))
-    d.select(col("doc"), col("seq"), lit(true).as("alive"),
-        VecExprs.simHashSketch(
-          VecExprs.shingleH62(split(col("text"), "\\s+"), col("text"), cfg.shingleLen))
-          .as("simhash"))
-      .withColumn("hp", shardOf(col("doc"), cfg.shards))
-      .repartition(col("hp"))
-      .write.mode("append").partitionBy("hp").parquet(headDir(dir))
+    // head rows carry only (doc, seq, alive): with no text-derived column the
+    // head write never touches the content — parquet column pruning makes
+    // this second pass metadata-cheap. (An earlier version also stored a
+    // simhash sketch here, re-shingling the whole corpus per append for a
+    // column no read path ever consumed.)
+    appendHeads(dir, d.select(col("doc"), col("seq"), lit(true).as("alive")), cfg)
   }
 
   /** Append head tombstones for DELETED docs (their sig rows become
@@ -147,8 +145,7 @@ object SigStore {
     * image-overwrite semantics — only columns ABSENT from the image are
     * preserved), so the store must stop serving the stale signature too. */
   private def appendHeads(dir: String, rows: DataFrame, cfg: Config): Unit =
-    rows.select(col("doc"), col("seq"), col("alive"),
-        lit(null).cast("long").as("simhash"))
+    rows.select(col("doc"), col("seq"), col("alive"))
       .withColumn("hp", shardOf(col("doc"), cfg.shards))
       .repartition(col("hp"))
       .write.mode("append").partitionBy("hp").parquet(headDir(dir))
