@@ -110,6 +110,58 @@ object BenchExtra {
         }
         println(f"[micro] TOTAL min=${results.map(_._2._1).sum}%.3f med=${results.map(_._2._2).sum}%.3f")
 
+      case "splits" =>
+        val reps = if (args.length > 1) args(1).toInt else 3
+        warmup(spark, sfDir)
+        val all = (1 to reps).map(_ => Bench.storeSplits(spark, sfDir).toMap)
+        all.head.keys.toSeq.sorted.foreach { k =>
+          val vs = all.map(_(k)).sorted
+          println(f"[splits] $k%-22s min=${vs.head}%7.3f med=${vs(vs.length / 2)}%7.3f")
+        }
+
+      case "sigprobe" =>
+        import org.apache.spark.sql.functions._
+        import graft.functions.TextDedup
+        val strace = new JobTrace
+        spark.sparkContext.addSparkListener(strace)
+        warmup(spark, sfDir)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("doc_id") % 10 =!= 0)
+        def timed(label: String)(f: => Unit): Unit = (1 to 3).foreach { i =>
+          strace.drain()
+          val t0 = System.nanoTime(); f
+          println(f"[sigprobe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+          Thread.sleep(100)
+          if (i == 3) strace.drain().foreach { case (id, d, ms) =>
+            println(f"[sigprobe]    job $id%4d ${ms / 1e3}%7.3f s  ${d.take(60)}") }
+        }
+        val cfg = SparkEntry.SigStoreCfg
+        timed("minhash-sig-noop") {
+          docs.select(col("doc_id").cast("string").as("doc"),
+            TextDedup.minHashSignatureFromHashes(
+              TextDedup.shingleHashes(col("text"), cfg.shingleLen), cfg.k).as("sig"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        timed("banded-explode-noop") {
+          val r = docs.select(col("doc_id").cast("string").as("doc"),
+            TextDedup.minHashSignatureFromHashes(
+              TextDedup.shingleHashes(col("text"), cfg.shingleLen), cfg.k).as("sig"))
+            .select(col("doc"), col("sig"),
+              explode(org.apache.spark.sql.functions.transform(
+                sequence(lit(0), lit(cfg.bands - 1)),
+                b => concat_ws("|", b.cast("string"), concat_ws(",",
+                  org.apache.spark.sql.functions.transform(
+                    slice(col("sig"), b * cfg.rowsPerBand + 1, lit(cfg.rowsPerBand)),
+                    x => x.cast("string")))))).as("bucket"))
+          r.write.format("noop").mode("overwrite").save()
+        }
+        timed("full-append") {
+          val store = SparkEntry.scratchDir("graft-sigprobe")
+          try graft.operators.SigStore.appendUpserts(store, docs,
+            col("doc_id"), col("text"), lit(1L), cfg)
+          finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+        }
+
       case "fixture" =>
         val (t, v1, v2) = SparkEntry.twoPhaseTableCached(spark, sfDir)
         val s1 = t.snapshotAt(v1); val s2 = t.snapshotAt(v2)

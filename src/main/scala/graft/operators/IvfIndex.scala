@@ -84,8 +84,13 @@ object IvfIndex {
         element_at(typedlit(cents.map(_._1)),
           VecExprs.argMaxCosBroadcast(col("embedding"), bc) + 1).as("cp"))
       // one file per touched list per append (not tasks × C): C scales with
-      // the corpus (≥ √N), so the shuffle keeps its parallelism at scale
-      .repartition(col("cp"))
+      // the corpus (≥ √N), so the shuffle keeps its parallelism at scale.
+      // Pinned partition count (bounded by session parallelism): AQE would
+      // coalesce a small append's shuffle to ONE task that then opens and
+      // commits every list's file sequentially — per-file writer overhead,
+      // not data, dominated the build (same fix as SigStore.writeParallelism)
+      .repartition(math.max(1, math.min(cents.size,
+        spark.conf.get("spark.sql.shuffle.partitions").toInt)), col("cp"))
       .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("cp").parquet(listDir(dir))
     bc.unpersist(blocking = false)

@@ -70,6 +70,17 @@ object SigStore {
   private def shardOf(c: Column, shards: Int): Column =
     pmod(xxhash64(c), lit(shards)).cast("int")
 
+  /** Partition count for the pre-write shuffle: pinned (REPARTITION_BY_NUM)
+    * so AQE cannot coalesce a small append's shuffle to one task — a single
+    * task then opens/commits every touched shard's file SEQUENTIALLY, and the
+    * per-file writer overhead (not the data) dominates the append (measured
+    * 0.6-0.8 s per write at bench scale). Bounded by the session's shuffle
+    * parallelism, so it stays scale-adaptive; file count per append is one
+    * per touched shard either way. */
+  private def writeParallelism(df: DataFrame, shards: Int): Int =
+    math.max(1, math.min(shards,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
+
   /** Banded signature rows of a (doc, text) frame:
     * (doc, band, bucket, sig) — bucket built EXACTLY as in
     * [[TextDedup.minHashLshPairs]] so store-joined pairs agree bit-for-bit
@@ -121,7 +132,7 @@ object SigStore {
     // would cost a shuffle on EVERY micro-batch of a store-riding ingest.
     banded(d, col("doc"), col("text"), cfg, carry = Seq("seq" -> col("seq")))
       .withColumn("sp", shardOf(col("bucket"), cfg.shards))
-      .repartition(col("sp"))
+      .repartition(writeParallelism(d, cfg.shards), col("sp"))
       .write.mode("append").partitionBy("sp").parquet(sigDir(dir))
     // head rows carry only (doc, seq, alive): with no text-derived column the
     // head write never touches the content — parquet column pruning makes
@@ -147,7 +158,7 @@ object SigStore {
   private def appendHeads(dir: String, rows: DataFrame, cfg: Config): Unit =
     rows.select(col("doc"), col("seq"), col("alive"))
       .withColumn("hp", shardOf(col("doc"), cfg.shards))
-      .repartition(col("hp"))
+      .repartition(writeParallelism(rows, cfg.shards), col("hp"))
       .write.mode("append").partitionBy("hp").parquet(headDir(dir))
 
   /** Maintain the store from one CDC micro-batch of RAW change events
@@ -213,15 +224,21 @@ object SigStore {
       // shard-pruned store scan: ONLY the matched shard directories are even
       // LISTED (explicit paths), let alone read (asserted via inputFiles in
       // the spec) — the corpus outside them never costs a stat call.
-      // Persisted: it feeds both the head-shard collect and the final plan.
-      val matched = readShards(spark, sigDir(dir), "sp", sps, sigSchema)
+      val matched0 = readShards(spark, sigDir(dir), "sp", sps, sigSchema)
         .join(broadcast(bucketsDF), Seq("bucket"), "left_semi")
-        .persist()
       // staleness resolution: serve a sig row only at the doc's head seq and
       // only while alive (updates move buckets between shards; the head is
-      // the single source of truth). Head read pruned to matched-doc shards.
-      val hps = matched.select(shardOf(col("doc"), cfg.shards).as("hp")).distinct()
-        .collect().map(_.getInt(0)).toSeq
+      // the single source of truth). Head read pruned to matched-doc shards —
+      // discovered with a dedicated job over `matched` (persisted: it then
+      // feeds the final plan too) UNLESS the batch's buckets already hash
+      // into EVERY shard, where pruning is a no-op: reading all head shard
+      // dirs directly skips both the discovery job and the persist.
+      val pruneHeads = sps.size < cfg.shards
+      val matched = if (pruneHeads) matched0.persist() else matched0
+      val hps =
+        if (!pruneHeads) (0 until cfg.shards).toSeq
+        else matched.select(shardOf(col("doc"), cfg.shards).as("hp")).distinct()
+          .collect().map(_.getInt(0)).toSeq
       val head = readShards(spark, headDir(dir), "hp", hps, headSchema)
         .groupBy(col("doc"))
         .agg(max_by(struct(col("seq"), col("alive")), col("seq")).as("h"))
@@ -256,7 +273,7 @@ object SigStore {
         pairs.localCheckpoint(true)
       } finally {
         u.unpersist(blocking = false)
-        matched.unpersist(blocking = false)
+        if (pruneHeads) matched.unpersist(blocking = false)
       }
     } finally nb.unpersist(blocking = false)
   }
