@@ -110,10 +110,58 @@ object BenchExtra {
         }
         println(f"[micro] TOTAL min=${results.map(_._2._1).sum}%.3f med=${results.map(_._2._2).sum}%.3f")
 
+      case "inner" =>
+        // the store-backed queries materialize (localCheckpoint) before
+        // returning, so their outer plan is a checkpoint scan; dump the
+        // interesting INNER plans by driving the operators directly
+        import org.apache.spark.sql.functions._
+        val tag = if (args.length > 1) args(1) else "before"
+        val outDir = java.nio.file.Paths.get("plans/r07")
+        java.nio.file.Files.createDirectories(outDir)
+        def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+          java.nio.file.Files.writeString(outDir.resolve(s"${name}_$tag.txt"),
+            df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+          println(s"[inner] $name")
+        }
+        locally {
+          import graft.operators.IvfIndex
+          val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          val idx = SparkEntry.scratchDir("graft-planivf")
+          try {
+            IvfIndex.build(idx, e, col("vec_id"), col("embedding"), SparkEntry.IvfCfg)
+            dump("ann_ivf_topk_inner", IvfIndex.topK(spark, idx,
+              e.filter(col("vec_id") < 8), col("vec_id"), col("embedding"), nProbe = 2, k = 3))
+          } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+        }
+        locally {
+          import graft.operators.SigStore
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          val store = SparkEntry.scratchDir("graft-plansig")
+          try {
+            val cfg = SparkEntry.SigStoreCfg
+            SigStore.appendUpserts(store, docs.filter(col("doc_id") % 10 =!= 0),
+              col("doc_id"), col("text"), lit(1L), cfg)
+            val batch = docs.filter(col("doc_id") % 10 === 0)
+            dump("dedup_incremental_inner",
+              SigStore.incrementalPairsPlan(spark, store, batch,
+                col("doc_id"), col("text"), cfg, minEst = 0.25))
+          } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+        }
+
       case "splits" =>
         val reps = if (args.length > 1) args(1).toInt else 3
+        val strace2 = new JobTrace
+        if (sys.env.contains("GRAFT_TRACE_JOBS")) spark.sparkContext.addSparkListener(strace2)
         warmup(spark, sfDir)
-        val all = (1 to reps).map(_ => Bench.storeSplits(spark, sfDir).toMap)
+        val all = (1 to reps).map { i =>
+          strace2.drain()
+          val r = Bench.storeSplits(spark, sfDir).toMap
+          Thread.sleep(100)
+          if (sys.env.contains("GRAFT_TRACE_JOBS") && i == reps)
+            strace2.drain().foreach { case (id, d, ms) =>
+              println(f"[splits]    job $id%4d ${ms / 1e3}%7.3f s  ${d.take(70)}") }
+          r
+        }
         all.head.keys.toSeq.sorted.foreach { k =>
           val vs = all.map(_(k)).sorted
           println(f"[splits] $k%-22s min=${vs.head}%7.3f med=${vs(vs.length / 2)}%7.3f")
@@ -160,6 +208,25 @@ object BenchExtra {
           try graft.operators.SigStore.appendUpserts(store, docs,
             col("doc_id"), col("text"), lit(1L), cfg)
           finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+        }
+
+      case "ivftrace" =>
+        import org.apache.spark.sql.functions._
+        import graft.operators.IvfIndex
+        val itrace = new JobTrace
+        spark.sparkContext.addSparkListener(itrace)
+        warmup(spark, sfDir)
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        (1 to 3).foreach { i =>
+          itrace.drain()
+          val idx = SparkEntry.scratchDir("graft-ivftrace")
+          val t0 = System.nanoTime()
+          try IvfIndex.build(idx, e, col("vec_id"), col("embedding"), SparkEntry.IvfCfg)
+          finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+          println(f"[ivftrace] build ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+          Thread.sleep(100)
+          if (i == 3) itrace.drain().foreach { case (id, d, ms) =>
+            println(f"[ivftrace]    job $id%4d ${ms / 1e3}%7.3f s") }
         }
 
       case "fixture" =>

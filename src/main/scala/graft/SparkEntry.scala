@@ -400,10 +400,15 @@ object SparkEntry {
       .select(col("qid"), col("vec_id"),
         round(AnnSearch.cosineWithNorms(col("qe"), col("embedding"),
           col("qnorm"), col("cnorm")) * 10000).cast("long").as("cos_e4"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_e4").desc, col("vec_id"))
-    pairs.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
-      .select(col("qid"), col("vec_id"), col("cos_e4"), col("rank"))
+    // bounded top-k aggregate instead of a row_number window: identical
+    // (cos_e4 DESC, vec_id ASC) tie order, but each task keeps only k
+    // candidates per query (map-side partial agg) instead of funnelling the
+    // whole corpus's pairs through a per-query sort ([[graft.functions.TopKAgg]])
+    pairs.groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topK(col("cos_e4"), col("vec_id"), 3).as("_tk"))
+      .select(col("qid"), posexplode(col("_tk")))
+      .select(col("qid"), col("col.id").as("vec_id"),
+        col("col.score").as("cos_e4"), (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket-join).
@@ -478,7 +483,11 @@ object SparkEntry {
   private def qTextJaccardAdjacent(s: SparkSession, dir: String): DataFrame = {
     val w = t(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(split(col("text"), "\\s+"))).as("w"))
-    val sz = w.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // |distinct words| per doc straight off the array — the explode+groupBy
+    // formulation re-split every text a third and fourth time and paid an
+    // aggregation exchange per side for a number that is just size(array)
+    val sz = t(s, dir, "documents")
+      .select(col("doc_id"), size(array_distinct(split(col("text"), "\\s+"))).cast("long").as("sz"))
     val a = w.alias("a"); val b = w.alias("b")
     val inter = a.join(b, col("b.w") === col("a.w") &&
         col("b.doc_id") === col("a.doc_id") + 1)
@@ -512,11 +521,14 @@ object SparkEntry {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(AnnSearch.cosineWithNorms(col("qe"), col("embedding"),
           col("qn"), col("nrm")) * 10000).cast("long").as("cos_e4"))
-      .distinct()
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_e4").desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("neighbor_id"), col("cos_e4"), col("rank"))
+      .distinct() // multi-probe: a candidate met via several probed buckets
+    // bounded top-k aggregate in place of the row_number window (same
+    // rationale and tie order as ann_cosine_topk above)
+    cand.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(col("cos_e4"), col("neighbor_id"), 3).as("_tk"))
+      .select(col("query_id"), posexplode(col("_tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cos_e4"), (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** IVF ANN with a TRAINED coarse quantizer: C=16 centroids, seeded from

@@ -162,30 +162,24 @@ object AnnSearch {
       val bc = VecExprs.broadcastCentroids(spark, cents.map(_._2), cnorms)
       val bestCent = element_at(typedlit(cents.map(_._1)),
         VecExprs.argMaxCosBroadcast(col("v"), bc) + 1)
-      // per-dim sums as WIDE aggregate columns (dim is known from the
-      // centroids): ONE codegen'd map+agg job per iteration — no posexplode,
-      // no repartition, and no CollapseProject re-eval hazard, because the
-      // aggregate's grouping key evaluates the argmax exactly once per row.
-      // Integer math (sum of round(x*1e6) longs per dim) is order-independent
-      // and identical to the oracle's formulation.
+      // per-dim sums as ONE aggregate column ([[VecSumAgg]]: n + Σ
+      // round(x·1e6) longs per dim — order-independent integer math,
+      // bit-identical to the oracle's formulation). The previous spelling
+      // used `dims` separate sum() columns, whose O(D) expression tree was
+      // re-analyzed and re-planned by the driver on EVERY iteration; the
+      // fixed-point mean stays computed IN the job (post-aggregate transform
+      // on C rows), so the driver still collects finished centroid
+      // components only — collected bytes == broadcast bytes == C×(D+1).
       val dims = cents.head._2.length
-      val dimSums = (0 until dims).map(i =>
-        sum(round(element_at(col("v"), i + 1).cast("double") * 1e6).cast("long")).as(s"s$i"))
-      // the fixed-point mean is computed IN the job (post-aggregate project on
-      // C rows): the driver collects the finished centroid components, never
-      // raw stats — collected bytes == broadcast bytes == C×(D+1) exactly
-      val comps = (0 until dims).map(i =>
-        (roundAwayCol(col(s"s$i").cast("double") / col("n").cast("double"))
-          .cast("double") / 1e6).as(s"c$i"))
+      val mean = transform(col("_vs.sums"), s =>
+        roundAwayCol(s.cast("double") / col("_vs.n").cast("double")).cast("double") / 1e6)
       val sums = e
         .select(bestCent.as("cent_id"), col("v"))
         .groupBy(col("cent_id"))
-        .agg(count(lit(1)).as("n"), dimSums: _*)
-        .select(col("cent_id") +: comps: _*)
+        .agg(VecSumAgg.vecSum(col("v"), dims).as("_vs"))
+        .select(col("cent_id"), mean.as("cvec"))
         .collect()
-      cents = sums.map { r =>
-        r.getLong(0) -> (0 until dims).map(i => r.getDouble(1 + i))
-      }.toSeq.sortBy(_._1)
+      cents = sums.map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).sortBy(_._1)
       bc.unpersist(blocking = false)
     }
     cents

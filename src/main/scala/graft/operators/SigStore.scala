@@ -209,7 +209,19 @@ object SigStore {
     * at least one side in the batch; materialized (safe to delete nothing —
     * the caller may drop temp stores after this returns). */
   def incrementalPairs(spark: SparkSession, dir: String, batch: DataFrame,
-      doc: Column, text: Column, cfg: Config, minEst: Double): DataFrame = {
+      doc: Column, text: Column, cfg: Config, minEst: Double): DataFrame =
+    incrementalPairsImpl(spark, dir, batch, doc, text, cfg, minEst, materialize = true)
+
+  /** [[incrementalPairs]] without the final materialization — plan-inspection
+    * hook (the live plan references the store, so the caller must keep `dir`
+    * until the result is consumed). */
+  private[graft] def incrementalPairsPlan(spark: SparkSession, dir: String, batch: DataFrame,
+      doc: Column, text: Column, cfg: Config, minEst: Double): DataFrame =
+    incrementalPairsImpl(spark, dir, batch, doc, text, cfg, minEst, materialize = false)
+
+  private def incrementalPairsImpl(spark: SparkSession, dir: String, batch: DataFrame,
+      doc: Column, text: Column, cfg: Config, minEst: Double,
+      materialize: Boolean): DataFrame = {
     val k = cfg.k
     val nb = banded(batch, doc, text, cfg).persist()
     try {
@@ -270,7 +282,7 @@ object SigStore {
           .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"), est.as("est_jaccard"))
           .distinct()
           .filter(col("est_jaccard") >= minEst)
-        pairs.localCheckpoint(true)
+        if (materialize) pairs.localCheckpoint(true) else pairs
       } finally {
         u.unpersist(blocking = false)
         if (pruneHeads) matched.unpersist(blocking = false)
