@@ -74,27 +74,33 @@ object SparkEntry {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
 
-  /** A5 — dedup by (key, offset): last writer per key. */
-  private def qDedupLww(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+  /** A5 — dedup by (key, offset): last writer per key. The engine's own
+    * hash-aggregating LWW kernel ([[graft.functions.LastWriterAgg]]) instead
+    * of a row_number window: partial (map-side) aggregation keeps per-task
+    * state at one row per key, where the window sorted every event of a key
+    * inside one task. event_id is unique, so "row_number=1 by event_id desc"
+    * and "max event_id" pick the identical row. */
+  private def qDedupLww(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("user_id"), col("event_id").as("last_event_id"),
-        col("event_type").as("last_event_type"), col("value").as("last_value"))
-  }
+      .groupBy(col("user_id"))
+      .agg(graft.functions.LastWriterAgg.lastWriter(
+        struct(col("event_id"), col("event_type"), col("value")), col("event_id")).as("_w"))
+      .select(col("user_id"), col("_w.event_id").as("last_event_id"),
+        col("_w.event_type").as("last_event_type"), col("_w.value").as("last_value"))
 
   /** S5/§2.4 — merge-apply fold: the final table state after replaying the
-    * log (last writer per key, deletes drop the row). */
-  private def qMergeFold(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    * log (last writer per key, deletes drop the row). Same LWW-aggregate
+    * shape as [[qDedupLww]]; the delete filter applies to the WINNER, after
+    * the fold, exactly as the window formulation filtered rn=1 rows. */
+  private def qMergeFold(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .withColumn("op", opCol)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && col("op") =!= "delete")
-      .select(col("user_id"), col("event_id").as("last_event_id"),
-        col("op"), col("value").as("last_value"))
-  }
+      .groupBy(col("user_id"))
+      .agg(graft.functions.LastWriterAgg.lastWriter(
+        struct(col("event_id"), col("op"), col("value")), col("event_id")).as("_w"))
+      .filter(col("_w.op") =!= "delete")
+      .select(col("user_id"), col("_w.event_id").as("last_event_id"),
+        col("_w.op").as("op"), col("_w.value").as("last_value"))
 
   /** A2 — session-gap aggregation (the reference's only window: a
     * processing-time session with re-armed timer,
