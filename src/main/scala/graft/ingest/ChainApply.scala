@@ -86,7 +86,16 @@ object ChainApply {
     val img = struct(dataCols.map(col): _*)
     // null seq = a tombstone the window EXPIRED; the source head's maxSeq is
     // a safe LWW stamp (≥ every seq this key saw in the window, < every seq
-    // any later window can deliver)
+    // any later window can deliver).
+    //
+    // ASSUMPTION (ADVICE r6, documented contract): seqs are globally ordered
+    // across source partitions — a later window never DELIVERS a seq ≤ this
+    // head's maxSeq. The engine's changelog satisfies this (seq is the log's
+    // global offset). Under a multi-partition source without that guarantee,
+    // a legitimate late event with seq in (tombstoneHorizon, maxSeq] would
+    // win LWW at the source but lose to this synthetic stamp at the
+    // destination; such deployments must stamp with the compaction's expiry
+    // horizon instead (recorded at compact time) — not maxSeq.
     val seq = coalesce(col("_seq"), lit(head.maxSeq))
     val opC = col(ChangeFeed.OpColName)
     val batch = filtered.select(

@@ -99,14 +99,20 @@ object ChangeFeed {
     val addedDelta = s2.deltaFiles.filterNot(f => deltaPaths1.contains(f.path))
 
     // tombstone expiry inside the window ⇒ a deleted key may appear in NO
-    // added file; its last trace is in the files the window removed.
+    // added file; its last trace is in the files the window removed — BASE
+    // files, and also s1's DELTA files that the window dropped (a MOR key
+    // whose only from-version trace was an unfolded delta event, when the
+    // window contains fold + delete + tombstone-expiring compaction, appears
+    // in no added file and no removed base file; ADVICE r6).
     val expiredInWindow =
       s2.metrics.getOrElse("tombstonesExpired", 0L) > s1.metrics.getOrElse("tombstonesExpired", 0L)
-    val removedBase =
-      if (!expiredInWindow) Seq.empty[DataFile]
+    val (removedBase, removedDelta) =
+      if (!expiredInWindow) (Seq.empty[DataFile], Seq.empty[DataFile])
       else {
         val basePaths2 = s2.files.iterator.map(_.path).toSet
-        s1.files.filterNot(f => basePaths2.contains(f.path))
+        val deltaPaths2 = s2.deltaFiles.iterator.map(_.path).toSet
+        (s1.files.filterNot(f => basePaths2.contains(f.path)),
+          s1.deltaFiles.filterNot(f => deltaPaths2.contains(f.path)))
       }
 
     // ---- 2. candidate keys: every key a window-file holds (superset of the
@@ -119,6 +125,10 @@ object ChangeFeed {
       if (addedDelta.nonEmpty)
         Some(spark.read.option("mergeSchema", "true")
           .parquet(addedDelta.map(f => table.resolve(f.path)): _*)
+          .select(col("repo"), col("path"))) else None,
+      if (removedDelta.nonEmpty)
+        Some(spark.read.option("mergeSchema", "true")
+          .parquet(removedDelta.map(f => table.resolve(f.path)): _*)
           .select(col("repo"), col("path"))) else None).flatten
     if (candParts.isEmpty) // fence/metrics-only commits
       return (emptyFeed(table, s2), emptyStats)

@@ -122,6 +122,32 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(got === wantExpired)
   }
 
+  test("MOR fold + delete + tombstone expiry in ONE window: the delete still surfaces") {
+    // ADVICE r6 (medium): a key whose only from-version trace is an UNFOLDED
+    // delta event, deleted and tombstone-expired inside the window, appears
+    // in no added file and no removed BASE file — the feed must also union
+    // candidate keys from the s1 delta files the window dropped.
+    val (table, _, v2, events, _) = twoPhase(morMode = true)
+    assert(table.snapshotAt(v2).files.isEmpty && table.snapshotAt(v2).deltaFiles.nonEmpty,
+      "fixture: v2 must be delta-only (unfolded MOR)")
+    val st2 = Oracle.replay(events).rows
+    val (k, entry) = st2.find(_._2.row.content != null).get
+    val maxSeq = events.iterator.map(_.seq).max
+    val del = ChangeEvent(0, maxSeq + 1, maxSeq + 1, new java.sql.Timestamp(0L),
+      Ops.Delete, k._1, k._2, Some(entry.row), None, None)
+    import spark.implicits._
+    Ingest.replayLog(table, Seq(del).toDS().toDF(), Ingest.IngestConfig(morMode = true))
+    Mor.fold(table)
+    Maintenance.compact(table, tombstoneHorizon = Some(Long.MaxValue), force = true)
+    val vEnd = table.snapshot.version
+    assert(table.snapshot.metrics.getOrElse("tombstonesExpired", 0L) > 0L,
+      "fixture must actually expire tombstones")
+    val got = feedRows(ChangeFeed.changesBetween(table, v2, vEnd))
+    assert(got === Map(k ->
+      (("delete", None: Option[Long], Oracle.sha256Hex(entry.row.content)))),
+      "the fold+expire window must still surface the delete with its pre-image")
+  }
+
   test("rebucket inside the window: dual-modulus pruning, zero phantom changes") {
     val (table, v1, v2, events, split) = twoPhase(morMode = false)
     val want = expectedChanges(events, split)
