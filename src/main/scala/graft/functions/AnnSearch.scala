@@ -225,31 +225,40 @@ object AnnSearch {
     // interprets per element, per PAIR in the verify stage below: 9.7 s vs
     // 1.3 s at sf0.1 for the whole query.
     val n2 = VecExprs.fixedDotE6(col(vecCol), col(vecCol))
+    // persisted: the banded sketch table feeds the cap aggregate AND both
+    // self-join sides — un-persisted, the sketch projections and the corpus
+    // scan re-run three times (same rationale as minHashLshPairs' signature
+    // persist). Pairs are materialized below so it unpersists before return.
     val banded = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"),
         n2.as("n2"), posexplode(sketches))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    // degenerate-bucket cap per (band, bucket): broadcast anti-join of the
-    // (tiny) oversized key set — never a window over the skewed bucket key
-    val oversized = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("_bsz"))
-      .filter(col("_bsz") > bucketCap)
-      .select(col("band"), col("bucket"))
-    val capped = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
-    val dropped = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_semi")
-      .select(col("band"), col("bucket"), col("vid"))
-    val a = capped.alias("a"); val b = capped.alias("b")
-    val pairs = a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.vid") < col("b.vid"))
-      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"), {
-        val qdot = VecExprs.fixedDotE6(col("a.v"), col("b.v"))
-        round(qdot.cast("double") /
-            sqrt(col("a.n2").cast("double") * col("b.n2").cast("double")) * 10000)
-          .cast("long").as("cos_e4")
-      })
-      .distinct() // a pair meeting in several bands reports once
-      .filter(col("cos_e4") >= minCosE4)
-    NearDupResult(pairs, dropped)
+      .persist()
+    try {
+      // degenerate-bucket cap per (band, bucket): broadcast anti-join of the
+      // (tiny) oversized key set — never a window over the skewed bucket key
+      val oversized = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("_bsz"))
+        .filter(col("_bsz") > bucketCap)
+        .select(col("band"), col("bucket"))
+      val capped = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+      val dropped = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_semi")
+        .select(col("band"), col("bucket"), col("vid"))
+      val a = capped.alias("a"); val b = capped.alias("b")
+      val pairs = a.join(b,
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.vid") < col("b.vid"))
+        .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"), {
+          val qdot = VecExprs.fixedDotE6(col("a.v"), col("b.v"))
+          round(qdot.cast("double") /
+              sqrt(col("a.n2").cast("double") * col("b.n2").cast("double")) * 10000)
+            .cast("long").as("cos_e4")
+        })
+        .distinct() // a pair meeting in several bands reports once
+        .filter(col("cos_e4") >= minCosE4)
+      // materialized so the persist can be dropped now; `dropped` stays lazy
+      // (recomputes if consumed — health-metric path, not the hot path)
+      NearDupResult(pairs.localCheckpoint(true), dropped)
+    } finally banded.unpersist(blocking = false)
   }
 
   /** LSH-bucketed ANN: candidates share a sketch bucket (multi-probe: the
