@@ -30,6 +30,17 @@ object BenchExtra {
       val s = starts.remove(je.jobId)
       if (s != null) rows.synchronized { rows += ((je.jobId, s._1, je.time - s._2)) }
     }
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      if (sys.env.contains("GRAFT_TRACE_STAGES")) {
+        val si = sc.stageInfo; val m = si.taskMetrics
+        println(f"[stage] ${si.stageId}%4d tasks=${si.numTasks}%4d " +
+          f"wall=${(si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3}%8.1f s " +
+          f"cpu=${m.executorCpuTime / 1e9}%9.1f s run=${m.executorRunTime / 1e3}%9.1f s " +
+          f"in=${m.inputMetrics.recordsRead}%12d sh_r=${m.shuffleReadMetrics.recordsRead}%12d " +
+          f"sh_w=${m.shuffleWriteMetrics.recordsWritten}%12d " +
+          f"spillMB=${m.diskBytesSpilled / 1048576}%6d  ${si.name.take(40)}")
+      }
     def drain(): Seq[(Int, String, Long)] = rows.synchronized {
       val r = rows.toSeq; rows.clear(); r
     }
@@ -148,6 +159,18 @@ object BenchExtra {
           } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
         }
 
+      case "simplan" =>
+        import org.apache.spark.sql.functions._
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val df = graft.functions.TextDedup.simHashPairsPlan(docs, "doc_id", "text",
+          shingleLen = 3, maxHamming = 6)
+        val outDir = java.nio.file.Paths.get("plans/r07")
+        java.nio.file.Files.createDirectories(outDir)
+        val tag = if (args.length > 1) args(1) else "inner"
+        java.nio.file.Files.writeString(outDir.resolve(s"dedup_simhash_${tag}.txt"),
+          df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+        println("[simplan] dumped")
+
       case "splits" =>
         val reps = if (args.length > 1) args(1).toInt else 3
         val strace2 = new JobTrace
@@ -209,6 +232,33 @@ object BenchExtra {
             col("doc_id"), col("text"), lit(1L), cfg)
           finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
         }
+
+      case "cdc" =>
+        // CDC-leg isolation with the same generator/config as the frozen
+        // bench (replay warm/cold, COW stream, MOR stream ×2); set
+        // GRAFT_BENCH_SPLIT=1 to get Bench.runIngest's stream/fold split and
+        // GRAFT_TRACE_JOBS=1 for per-job traces of the LAST MOR run
+        import graft.gen.ChangelogGen
+        import graft.log.ChangeLog
+        val ctrace = new JobTrace
+        if (sys.env.contains("GRAFT_TRACE_JOBS")) spark.sparkContext.addSparkListener(ctrace)
+        val workRoot = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+          java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp")
+        val work = java.nio.file.Files.createTempDirectory(workRoot, "graft-cdcx").toString
+        val cfg = Bench.cdcGenConfig(sfDir, nPartitions = 16)
+        val logDir = s"$work/log"
+        ChangeLog.write(ChangelogGen.events(spark, cfg), logDir)
+        println(f"[cdc] replay_cold  ${Bench.runIngest(spark, logDir, work, streaming = false)}%7.2f s")
+        println(f"[cdc] replay_warm  ${Bench.runIngest(spark, logDir, work, streaming = false)}%7.2f s")
+        println(f"[cdc] stream_cow   ${Bench.runIngest(spark, logDir, work, streaming = true)}%7.2f s")
+        println(f"[cdc] stream_mor1  ${Bench.runIngest(spark, logDir, work, streaming = true, mor = true)}%7.2f s")
+        ctrace.drain()
+        println(f"[cdc] stream_mor2  ${Bench.runIngest(spark, logDir, work, streaming = true, mor = true)}%7.2f s")
+        Thread.sleep(200)
+        if (sys.env.contains("GRAFT_TRACE_JOBS"))
+          ctrace.drain().foreach { case (id, d, ms) =>
+            println(f"[cdc]    job $id%4d ${ms / 1e3}%7.3f s  ${d.take(60)}") }
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
 
       case "ivftrace" =>
         import org.apache.spark.sql.functions._

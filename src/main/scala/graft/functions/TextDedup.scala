@@ -143,7 +143,21 @@ object TextDedup {
   def simHashPairs(
       docs: DataFrame, id: String, text: String,
       shingleLen: Int = 3, maxHamming: Int = 6,
-      bucketCap: Int = DefaultBucketCap): DataFrame = {
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    simHashPairsImpl(docs, id, text, shingleLen, maxHamming, bucketCap, materialize = true)
+
+  /** [[simHashPairs]] without the final materialization — plan-inspection
+    * hook (the sketch table stays persisted; caller is transient tooling). */
+  private[graft] def simHashPairsPlan(
+      docs: DataFrame, id: String, text: String,
+      shingleLen: Int = 3, maxHamming: Int = 6,
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    simHashPairsImpl(docs, id, text, shingleLen, maxHamming, bucketCap, materialize = false)
+
+  private def simHashPairsImpl(
+      docs: DataFrame, id: String, text: String,
+      shingleLen: Int, maxHamming: Int,
+      bucketCap: Int, materialize: Boolean): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 30, "maxHamming out of range")
     val nBands = maxHamming + 1
     val width = 62 / nBands // last band absorbs the remainder bits
@@ -158,19 +172,34 @@ object TextDedup {
         val mask = (1L << w) - 1L
         shiftright(col("sketch"), lo).bitwiseAND(lit(mask))
       }
+      // null blocks (null text ⇒ null sketch) can never join-match; the
+      // grouped path must drop them explicitly for parity
       val blocked = sk.select(col("doc"), col("sketch"),
         posexplode(array(bandExprs: _*)))
         .withColumnRenamed("pos", "q").withColumnRenamed("col", "block")
+        .filter(col("block").isNotNull)
       val capped = dropOversizedBuckets(blocked, Seq("q", "block"), bucketCap)
-      val a = capped.alias("a"); val b = capped.alias("b")
-      val pairs = a.join(b, col("a.q") === col("b.q") && col("a.block") === col("b.block") &&
-          col("a.doc") < col("b.doc"))
-        .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-          hamming(col("a.sketch"), col("b.sketch")).as("hamming"))
+      // Per-BLOCK nested-loop kernel instead of a block-keyed self-join: at
+      // high corpus density (N ≈ 2^width · cap, e.g. 500k docs with 8-bit
+      // blocks) most blocks sit near the cap and the join materialized
+      // ~Σ n_b² ≈ 10⁹ intermediate rows — ~730 s of CPU for a ~10⁴-row
+      // result, concentrated on however many partitions the probe side
+      // happened to have (measured parallelism ≈ 1). The groupBy spreads
+      // blocks across the shuffle width, the collected block is bounded by
+      // the cap (≤ bucketCap rows), and [[VecExprs.SimHashBlockPairs]] emits
+      // only the surviving (hamming ≤ max) pairs — identical output to the
+      // join (id_a < id_b under the doc type's ordering, then distinct
+      // because a pair can meet in several bands).
+      val grouped = capped.groupBy(col("q"), col("block"))
+        .agg(collect_list(struct(col("doc"), col("sketch"))).as("_rows"))
+      val pairs = grouped
+        .select(explode(VecExprs.simHashBlockPairs(col("_rows"), maxHamming)).as("_p"))
+        .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"),
+          col("_p.hamming").as("hamming"))
         .distinct()
-        .filter(col("hamming") <= maxHamming)
-      pairs.localCheckpoint(true) // materialize so sk can be unpersisted now
-    } finally sk.unpersist(blocking = false)
+      if (materialize) pairs.localCheckpoint(true) // so sk can be unpersisted now
+      else pairs
+    } finally if (materialize) sk.unpersist(blocking = false)
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:

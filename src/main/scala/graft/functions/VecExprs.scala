@@ -60,6 +60,9 @@ object VecExprs {
   def simHashSketch(hashes: Column): Column =
     ColumnBridge.column(SimHashSketch(ColumnBridge.expression(hashes)))
 
+  def simHashBlockPairs(rows: Column, maxHamming: Int): Column =
+    ColumnBridge.column(SimHashBlockPairs(ColumnBridge.expression(rows), maxHamming))
+
   /** In-order dot product of two numeric arrays (length = the shorter). */
   case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -493,6 +496,78 @@ object VecExprs {
   /** 62-bit simhash sketch over an array<long> of packed 62-bit hashes:
     * bit b of the sketch is set iff the ±1 votes of bit b over all hashes sum
     * positive. */
+  /** All within-hamming pairs of one pigeonhole BLOCK: input is the block's
+    * collected rows `array<struct<doc, sketch: long>>` (bounded ≤ bucketCap
+    * by [[TextDedup.dropOversizedBuckets]]), output
+    * `array<struct<id_a, id_b, hamming: int>>` with id_a < id_b under the
+    * doc type's natural ordering and hamming ≤ maxHamming — exactly the rows
+    * the block's self-join `a.doc < b.doc AND bit_count(a.sketch ^ b.sketch)
+    * <= maxHamming` produced, minus the ~cap² intermediate join-row
+    * materialization: the nested loop emits SURVIVORS only. Interpreted eval
+    * (CodegenFallback) is deliberate — one call per block amortizes the
+    * expression overhead over ≤cap² primitive popcounts, and the projection
+    * it sits in handles thousands of rows, not billions. Null docs are
+    * skipped (join parity: `null < x` is null). */
+  case class SimHashBlockPairs(child: Expression, maxHamming: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+    private lazy val rowType: StructType =
+      child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    private lazy val docType: DataType = rowType.fields(0).dataType
+    @transient private lazy val docOrdering =
+      org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(docType)
+
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("id_a", docType), StructField("id_b", docType),
+      StructField("hamming", IntegerType, nullable = false))), containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val docs = new Array[Any](n)
+      val sketches = new Array[Long](n)
+      var m = 0
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val r = arr.getStruct(i, 2)
+          if (!r.isNullAt(0) && !r.isNullAt(1)) {
+            docs(m) = r.get(0, docType) match {
+              // defensive copy: an UnsafeRow view's string points into the
+              // shared array buffer; the emitted rows outlive this struct
+              case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+              case x => x
+            }
+            sketches(m) = r.getLong(1); m += 1
+          }
+        }
+        i += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var a = 0
+      while (a < m) {
+        val sa = sketches(a)
+        var b = a + 1
+        while (b < m) {
+          val h = java.lang.Long.bitCount(sa ^ sketches(b))
+          if (h <= maxHamming) {
+            val cmp = docOrdering.compare(docs(a), docs(b))
+            if (cmp < 0)
+              out += org.apache.spark.sql.catalyst.InternalRow(docs(a), docs(b), h)
+            else if (cmp > 0)
+              out += org.apache.spark.sql.catalyst.InternalRow(docs(b), docs(a), h)
+          }
+          b += 1
+        }
+        a += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class SimHashSketch(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
 
