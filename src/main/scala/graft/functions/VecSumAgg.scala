@@ -19,10 +19,12 @@ import org.apache.spark.sql.types._
   * Bit-exactness contract (the DuckDB oracle re-derives identical centroids):
   * each element is rounded exactly as Spark's `round()` on a double —
   * `java.math.BigDecimal.valueOf(x).setScale(0, HALF_UP)` — and summed as
-  * longs, which commute, so the result is independent of row order. Nulls
-  * follow the column formulation: a null element (or a dimension beyond the
-  * vector's length) contributes nothing to that dimension's sum; a null
-  * vector still counts toward `n` (it was `count(lit(1))`).
+  * longs, which commute, so the result is independent of row order. Nulls:
+  * a null element — or a dimension beyond the vector's length (the
+  * `try_element_at` rule; plain element_at would raise there under Spark 4,
+  * and corpora are uniform-dim in practice) — contributes nothing to that
+  * dimension's sum; a null vector still counts toward `n` (it was
+  * `count(lit(1))`). Parity pinned by KernelParitySpec.
   */
 case class VecSumAgg(
     vec: Expression,
