@@ -106,8 +106,10 @@ object BenchExtra {
           val times = (1 to repeats).map { i =>
             spark.sparkContext.setJobDescription(s"$name#$i")
             val t0 = System.nanoTime()
-            try fn(spark, sfDir).count() catch { case e: Throwable => println(s"$name ERR $e"); -1L }
-            val sec = (System.nanoTime() - t0) / 1e9
+            val ok = try { fn(spark, sfDir).count(); true }
+              catch { case e: Throwable => println(s"$name ERR $e"); false }
+            // a failed run must read as +inf, never as a fast time
+            val sec = if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
             spark.sparkContext.setJobDescription(null)
             Thread.sleep(100)
             val jobs = trace.drain()

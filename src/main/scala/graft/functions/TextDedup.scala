@@ -199,7 +199,9 @@ object TextDedup {
         .distinct()
       if (materialize) pairs.localCheckpoint(true) // so sk can be unpersisted now
       else pairs
-    } finally if (materialize) sk.unpersist(blocking = false)
+      // always unpersist — also on the plan-hook path and on exceptions (an
+      // unpersisted InMemoryRelation in the returned plan simply recomputes)
+    } finally sk.unpersist(blocking = false)
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:

@@ -8,8 +8,9 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Bounded top-k aggregate over (score: long, id: long) pairs, ordered
-  * (score DESC NULLS LAST, id ASC) — exactly `row_number() OVER (ORDER BY
-  * score DESC, id) <= k` semantics per group, without the window's global
+  * (score DESC NULLS LAST, id ASC NULLS FIRST) — exactly `row_number() OVER
+  * (ORDER BY score DESC, id) <= k` semantics per group (including Spark's
+  * default null ordering on BOTH keys), without the window's global
   * per-group sort: each task keeps at most k candidates (map-side partial
   * aggregation), so a query's ~nProbe·N/C candidate rows never serialize
   * through one window task. Returns array<struct<score,id>> in rank order.
@@ -38,16 +39,15 @@ case class TopKAgg(
 
   override def update(b: TopKAgg.Buffer, input: InternalRow): TopKAgg.Buffer = {
     val idv = id.eval(input)
-    if (idv != null) {
-      val s = score.eval(input)
-      b.insert(s != null, if (s == null) 0L else s.asInstanceOf[Long], idv.asInstanceOf[Long])
-    }
+    val s = score.eval(input)
+    b.insert(s != null, if (s == null) 0L else s.asInstanceOf[Long],
+      idv != null, if (idv == null) 0L else idv.asInstanceOf[Long])
     b
   }
 
   override def merge(b: TopKAgg.Buffer, o: TopKAgg.Buffer): TopKAgg.Buffer = {
     var i = 0
-    while (i < o.n) { b.insert(o.has(i), o.scores(i), o.ids(i)); i += 1 }
+    while (i < o.n) { b.insert(o.has(i), o.scores(i), o.idHas(i), o.ids(i)); i += 1 }
     b
   }
 
@@ -55,18 +55,20 @@ case class TopKAgg(
     val rows = new Array[Any](b.n)
     var i = 0
     while (i < b.n) {
-      rows(i) = InternalRow(if (b.has(i)) b.scores(i) else null, b.ids(i))
+      rows(i) = InternalRow(if (b.has(i)) b.scores(i) else null,
+        if (b.idHas(i)) b.ids(i) else null)
       i += 1
     }
     new GenericArrayData(rows)
   }
 
   override def serialize(b: TopKAgg.Buffer): Array[Byte] = {
-    val out = java.nio.ByteBuffer.allocate(4 + b.n * 17)
+    val out = java.nio.ByteBuffer.allocate(4 + b.n * 18)
     out.putInt(b.n)
     var i = 0
     while (i < b.n) {
-      out.put(if (b.has(i)) 1.toByte else 0.toByte).putLong(b.scores(i)).putLong(b.ids(i))
+      out.put(if (b.has(i)) 1.toByte else 0.toByte).putLong(b.scores(i))
+        .put(if (b.idHas(i)) 1.toByte else 0.toByte).putLong(b.ids(i))
       i += 1
     }
     out.array()
@@ -77,7 +79,7 @@ case class TopKAgg(
     val n = in.getInt
     val b = new TopKAgg.Buffer(k)
     var i = 0
-    while (i < n) { b.insert(in.get() == 1, in.getLong, in.getLong); i += 1 }
+    while (i < n) { b.insert(in.get() == 1, in.getLong, in.get() == 1, in.getLong); i += 1 }
     b
   }
 
@@ -92,30 +94,35 @@ object TopKAgg {
 
   val OutType: DataType = ArrayType(StructType(Seq(
     StructField("score", LongType, nullable = true),
-    StructField("id", LongType, nullable = false))), containsNull = false)
+    StructField("id", LongType, nullable = true))), containsNull = false)
 
   /** Rank-ordered bounded buffer: parallel arrays sorted by
-    * (has desc, score desc, id asc), at most k entries. */
+    * (score: has desc then value desc, id: null FIRST then value asc) —
+    * Spark's default DESC/ASC null orderings — at most k entries. */
   final class Buffer(k: Int) {
     var n: Int = 0
     val has = new Array[Boolean](k)
     val scores = new Array[Long](k)
+    val idHas = new Array[Boolean](k)
     val ids = new Array[Long](k)
 
-    /** (h, s, i) strictly better than slot j? score DESC NULLS LAST, id ASC. */
-    private def better(h: Boolean, s: Long, i: Long, j: Int): Boolean =
+    /** (h, s, ih, i) strictly better than slot j?
+      * score DESC NULLS LAST, id ASC NULLS FIRST. */
+    private def better(h: Boolean, s: Long, ih: Boolean, i: Long, j: Int): Boolean =
       if (h != has(j)) h
       else if (h && s != scores(j)) s > scores(j)
-      else i < ids(j)
+      else if (ih != idHas(j)) !ih // null id ranks first on a score tie
+      else ih && i < ids(j)
 
-    def insert(h: Boolean, s: Long, i: Long): Unit = {
-      if (n == has.length && !better(h, s, i, n - 1)) return
+    def insert(h: Boolean, s: Long, ih: Boolean, i: Long): Unit = {
+      if (n == has.length && !better(h, s, ih, i, n - 1)) return
       var pos = if (n < has.length) n else n - 1
-      while (pos > 0 && better(h, s, i, pos - 1)) {
-        has(pos) = has(pos - 1); scores(pos) = scores(pos - 1); ids(pos) = ids(pos - 1)
+      while (pos > 0 && better(h, s, ih, i, pos - 1)) {
+        has(pos) = has(pos - 1); scores(pos) = scores(pos - 1)
+        idHas(pos) = idHas(pos - 1); ids(pos) = ids(pos - 1)
         pos -= 1
       }
-      has(pos) = h; scores(pos) = s; ids(pos) = i
+      has(pos) = h; scores(pos) = s; idHas(pos) = ih; ids(pos) = i
       if (n < has.length) n += 1
     }
   }

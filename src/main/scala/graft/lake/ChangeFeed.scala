@@ -61,6 +61,7 @@ object ChangeFeed {
     * side. All row counts are manifest stats, no extra jobs. */
   final case class FeedStats(
       addedBaseFiles: Int, addedDeltaFiles: Int, removedBaseFiles: Int,
+      removedDeltaFiles: Int,
       oldFilesRead: Int, oldRowsRead: Long,
       newFilesRead: Int, newRowsRead: Long,
       tableFiles: Int, tableRows: Long) {
@@ -86,7 +87,7 @@ object ChangeFeed {
       s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
     val spark = table.spark
     val s2 = table.snapshotAt(toVersion)
-    def emptyStats: FeedStats = FeedStats(0, 0, 0, 0, 0L, 0, 0L,
+    def emptyStats: FeedStats = FeedStats(0, 0, 0, 0, 0, 0L, 0, 0L,
       s2.files.size + s2.deltaFiles.size,
       s2.files.iterator.map(_.rows).sum + s2.deltaFiles.iterator.map(_.rows).sum)
     if (fromVersion == toVersion) return (emptyFeed(table, s2), emptyStats)
@@ -217,7 +218,7 @@ object ChangeFeed {
         .when(!aliveN && aliveO, lit("delete"))
     val nonKey = cur.columns.filter(c => c.name != "repo" && c.name != "path")
     val stats = FeedStats(
-      addedBase.size, addedDelta.size, removedBase.size,
+      addedBase.size, addedDelta.size, removedBase.size, removedDelta.size,
       oldBase.size + oldDelta.size,
       oldBase.iterator.map(_.rows).sum + oldDelta.iterator.map(_.rows).sum,
       newBase.size + newDelta.size,

@@ -131,6 +131,14 @@ object IvfIndex {
     * replaces, so results stay oracle-exact. */
   def topK(spark: SparkSession, dir: String, queries: DataFrame,
       idCol: Column, vecCol: Column, nProbe: Int, k: Int): DataFrame = {
+    // k <= 0 returned an empty frame under the old `filter(rank <= k)`
+    // formulation; keep that contract (TopKAgg itself requires k > 0)
+    if (k <= 0)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("query_id", LongType), StructField("neighbor_id", LongType),
+          StructField("cos_e4", LongType), StructField("rank", LongType))))
     val cents = readCentroids(spark, dir)
     val centsDF = spark.createDataFrame(cents.map { case (cid, cv) => (cid, cv) })
       .toDF("cent_id", "cvec")

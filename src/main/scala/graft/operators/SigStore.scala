@@ -77,9 +77,9 @@ object SigStore {
     * 0.6-0.8 s per write at bench scale). Bounded by the session's shuffle
     * parallelism, so it stays scale-adaptive; file count per append is one
     * per touched shard either way. */
-  private def writeParallelism(df: DataFrame, shards: Int): Int =
+  private def writeParallelism(spark: SparkSession, shards: Int): Int =
     math.max(1, math.min(shards,
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
+      spark.conf.get("spark.sql.shuffle.partitions").toInt))
 
   /** Banded signature rows of a (doc, text) frame:
     * (doc, band, bucket, sig) — bucket built EXACTLY as in
@@ -132,7 +132,7 @@ object SigStore {
     // would cost a shuffle on EVERY micro-batch of a store-riding ingest.
     banded(d, col("doc"), col("text"), cfg, carry = Seq("seq" -> col("seq")))
       .withColumn("sp", shardOf(col("bucket"), cfg.shards))
-      .repartition(writeParallelism(d, cfg.shards), col("sp"))
+      .repartition(writeParallelism(d.sparkSession, cfg.shards), col("sp"))
       .write.mode("append").partitionBy("sp").parquet(sigDir(dir))
     // head rows carry only (doc, seq, alive): with no text-derived column the
     // head write never touches the content — parquet column pruning makes
@@ -158,7 +158,7 @@ object SigStore {
   private def appendHeads(dir: String, rows: DataFrame, cfg: Config): Unit =
     rows.select(col("doc"), col("seq"), col("alive"))
       .withColumn("hp", shardOf(col("doc"), cfg.shards))
-      .repartition(writeParallelism(rows, cfg.shards), col("hp"))
+      .repartition(writeParallelism(rows.sparkSession, cfg.shards), col("hp"))
       .write.mode("append").partitionBy("hp").parquet(headDir(dir))
 
   /** Maintain the store from one CDC micro-batch of RAW change events

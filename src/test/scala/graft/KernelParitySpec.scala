@@ -15,25 +15,30 @@ class KernelParitySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("TopKAgg == row_number window under ties and null scores") {
-    // deterministic pseudo-random scores with HEAVY ties (mod 5) and nulls
+  test("TopKAgg == row_number window under ties, null scores AND null ids") {
+    // deterministic pseudo-random scores with HEAVY ties (mod 5), null
+    // scores, and null ids (the window ranks a null id FIRST among equal
+    // scores — asc nulls-first — and the aggregate must reproduce that)
     val df = spark.range(0L, 5000L).select(
       (col("id") % 7).as("g"),
-      col("id").as("item"),
+      when(col("id") % 13 === 0, lit(null).cast("long")).otherwise(col("id")).as("item"),
       when(col("id") % 11 === 0, lit(null).cast("long"))
         .otherwise(pmod(col("id") * 2654435761L, lit(5L))).as("score"))
     val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("item"))
-    val viaWindow = df.withColumn("rank", row_number().over(w))
+    def rowSet(rows: Array[org.apache.spark.sql.Row]) = rows.map(r => (
+      r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      r.getLong(3))).toSet
+    val viaWindow = rowSet(df.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 4)
       .select(col("g"), col("item"), col("score"), col("rank").cast("long").as("rank"))
-      .collect().map(r => (r.getLong(0), r.getLong(1),
-        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toSet
-    val viaAgg = df.groupBy(col("g"))
+      .collect())
+    val viaAgg = rowSet(df.groupBy(col("g"))
       .agg(TopKAgg.topK(col("score"), col("item"), 4).as("tk"))
       .select(col("g"), posexplode(col("tk")))
       .select(col("g"), col("col.id"), col("col.score"), (col("pos") + 1).cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1),
-        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toSet
+      .collect())
     assert(viaAgg === viaWindow)
   }
 
